@@ -1,0 +1,198 @@
+"""Deterministic derivation of the KG-pipeline input tables.
+
+The sandbox provides TPC-H-ish parquet tables (TESTDATA.md). The KG
+pipeline's authoritative input shape is a *transcripts* table
+``(conv_id, turn_idx, role, text, tool, ts)`` plus a canonical-entity
+dictionary. We derive both **deterministically** (pure arithmetic, no
+RNG) from the provided tables, so the exact same derivation is
+expressible in DuckDB SQL (:mod:`kgforge.oracle`) — giving every
+operator an independent cross-engine oracle.
+
+Derivation spec (single source of truth; oracle.py mirrors it verbatim):
+
+``transcripts`` <- lineitem ⋈ part on ``l_partkey = p_partkey``:
+  - ``turn_idx`` = row_number over (partition by l_orderkey
+    order by l_linenumber, l_partkey, l_suppkey) - 1   [unique, verified]
+  - ``conv_id`` = 'conv-' || l_orderkey
+  - ``role``    = ('user','assistant','tool')[turn_idx % 3]
+  - ``tool``    = when role='tool': 'bom_lookup' if l_orderkey even else
+                  'part_search'; else NULL
+  - ``ts``      = l_shipdate
+  - per-turn *mention* (exercises every resolution status,
+    FIXTURES.md §1): l_partkey%19==3 -> 'unknown widget {l_suppkey}'
+    (unknown); l_partkey%19==7 -> '{l_partkey}.0' (float-formatted
+    number -> normalize -> pass-through, reference
+    /root/reference/src/utils/spreadsheet_loader.py:35-42,1063-1066);
+    else p_name||' '||p_brand (resolved or ambiguous).
+  - *parent mention* = lag(mention) within the conversation.
+  - ``text`` = role||' turn: ref=['||mention||']'
+               || coalesce(' parent=['||parent_mention||']','')
+               ||' qty='||floor(l_quantity)
+
+``entities`` <- part (reference parse_parts :54-111), two "sheets" with
+  last-wins dedup (:98): sheet 0 = all parts; sheet 1 overrides every
+  50th part with state='RELEASED', revision='Z'. name = p_name||'
+  '||p_brand (~5% of names shared by 2+ numbers -> ambiguity fixture).
+
+``versions`` <- orders: number=o_custkey, version=o_orderkey,
+  state=o_orderstatus, created_ts=o_orderdate.
+
+``changes`` <- events where event_id%20==0: change_id='CH-'||event_id,
+  change_type=event_type, affected_number=user_id % count(part), ts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the transcripts table (input_hint shape) from lineitem ⋈ part."""
+    li = _read(spark, sf_dir, "lineitem")
+    part = _read(spark, sf_dir, "part")
+
+    pk = F.col("l_partkey")
+    mention = (
+        F.when(pk % 19 == 3, F.concat(F.lit("unknown widget "), F.col("l_suppkey").cast("string")))
+        .when(pk % 19 == 7, F.concat(pk.cast("string"), F.lit(".0")))
+        .otherwise(F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")))
+    )
+    w_turn = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    base = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .withColumn("turn_idx", (F.row_number().over(w_turn) - F.lit(1)).cast("int"))
+        .withColumn("conv_id", F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string")))
+        .withColumn("mention", mention)
+        .withColumn("qty", F.floor("l_quantity").cast("bigint"))
+    )
+    role = (
+        F.when(F.col("turn_idx") % 3 == 0, "user")
+        .when(F.col("turn_idx") % 3 == 1, "assistant")
+        .otherwise("tool")
+    )
+    w_conv = Window.partitionBy("conv_id").orderBy("turn_idx")
+    turns = (
+        base.withColumn("role", role)
+        .withColumn(
+            "tool",
+            F.when(
+                F.col("turn_idx") % 3 == 2,
+                F.when(F.col("l_orderkey") % 2 == 0, "bom_lookup").otherwise("part_search"),
+            ),
+        )
+        .withColumn("parent_mention", F.lag("mention").over(w_conv))
+    )
+    text = F.concat(
+        F.col("role"),
+        F.lit(" turn: ref=["),
+        F.col("mention"),
+        F.lit("]"),
+        F.coalesce(F.concat(F.lit(" parent=["), F.col("parent_mention"), F.lit("]")), F.lit("")),
+        F.lit(" qty="),
+        F.col("qty").cast("string"),
+    )
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        text.alias("text"),
+        "tool",
+        F.col("l_shipdate").alias("ts"),
+    )
+
+
+def _entity_cols(pk):
+    """Shared column spec for both entity 'sheets' (sheet 1 overrides below)."""
+    return {
+        "number": pk.cast("string"),
+        "name": F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")),
+        "type": F.col("p_type"),
+        "source": F.when(pk % 2 == 0, "make").otherwise("buy"),
+        "view": F.when(pk % 3 == 0, "Design").when(pk % 3 == 1, "Manufacturing").otherwise("Service"),
+        "state": F.when(pk % 4 == 0, "RELEASED")
+        .when(pk % 4 == 1, "DESIGN")
+        .when(pk % 4 == 2, "INPLANNING")
+        .otherwise("CANCELLED"),
+        "revision": F.when(pk % 5 == 0, F.lit(None).cast("string")).otherwise(
+            F.expr("char(64 + cast(p_partkey % 5 as int))")
+        ),
+        "container": F.when(pk % 7 == 0, F.lit(None).cast("string")).otherwise(
+            F.concat(F.lit("container-"), (pk % 7).cast("string"))
+        ),
+        "part_type": F.when(pk % 101 == 100, F.lit(None).cast("string")).otherwise(
+            F.when(pk % 4 == 0, "MechanicalPart")
+            .when(pk % 4 == 1, "SoftwarePart")
+            .when(pk % 4 == 2, "Variant")
+            .otherwise("WTPart")
+        ),
+    }
+
+
+ENTITY_COL_ORDER = [
+    "number", "name", "type", "source", "view", "state", "revision", "container", "part_type",
+]
+
+
+def load_entities_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two entity 'sheets' with duplicates — pre-dedup (reference :54-111)."""
+    part = _read(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    cols = _entity_cols(pk)
+    sheet0 = part.select(
+        F.lit(0).alias("sheet_idx"),
+        pk.alias("row_idx"),
+        *[cols[c].alias(c) for c in ENTITY_COL_ORDER],
+    )
+    cols1 = dict(cols)
+    cols1["state"] = F.lit("RELEASED")
+    cols1["revision"] = F.lit("Z")
+    sheet1 = part.filter(pk % 50 == 0).select(
+        F.lit(1).alias("sheet_idx"),
+        pk.alias("row_idx"),
+        *[cols1[c].alias(c) for c in ENTITY_COL_ORDER],
+    )
+    return sheet0.unionByName(sheet1)
+
+
+def load_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical entity table: last-wins dedup by number.
+
+    Reference semantics: dict overwrite in sheet/row order
+    (/root/reference/src/utils/spreadsheet_loader.py:98) — the *last*
+    sheet/row wins; as a window this is row_number desc == 1 (SURVEY §2.7).
+    """
+    raw = load_entities_raw(spark, sf_dir)
+    w = Window.partitionBy("number").orderBy(F.desc("sheet_idx"), F.desc("row_idx"))
+    return (
+        raw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*ENTITY_COL_ORDER)
+    )
+
+
+def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal version rows (reference scripts/import_temporal_history.py:92-136)."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").cast("string").alias("number"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_orderdate").alias("created_ts"),
+    )
+
+
+def load_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change records (reference src/importers/helicopter_change_importer.py:320-376)."""
+    events = _read(spark, sf_dir, "events")
+    n_parts = _read(spark, sf_dir, "part").count()
+    return events.filter(F.col("event_id") % 20 == 0).select(
+        F.concat(F.lit("CH-"), F.col("event_id").cast("string")).alias("change_id"),
+        F.col("event_type").alias("change_type"),
+        (F.col("user_id") % F.lit(n_parts)).cast("string").alias("affected_number"),
+        F.col("ts"),
+    )

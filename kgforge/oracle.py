@@ -1,0 +1,103 @@
+"""DuckDB-SQL mirror of :mod:`kgforge.fixtures` — the oracle side.
+
+Every CTE here implements the *same deterministic derivation spec* as
+fixtures.py (see its module docstring). Oracle queries are written as
+``with_fixtures("SELECT ... FROM transcripts ...")``. The driver runs
+these against DuckDB views named region/nation/customer/supplier/part/
+orders/lineitem/events/documents/embeddings.
+"""
+
+from __future__ import annotations
+
+FIXTURE_CTES = """
+turns_base AS (
+  SELECT
+    'conv-' || CAST(l.l_orderkey AS VARCHAR) AS conv_id,
+    CAST(ROW_NUMBER() OVER (PARTITION BY l.l_orderkey
+         ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) - 1 AS INT) AS turn_idx,
+    l.l_orderkey,
+    l.l_shipdate AS ts,
+    CAST(FLOOR(l.l_quantity) AS BIGINT) AS qty,
+    CASE WHEN l.l_partkey % 19 = 3 THEN 'unknown widget ' || CAST(l.l_suppkey AS VARCHAR)
+         WHEN l.l_partkey % 19 = 7 THEN CAST(l.l_partkey AS VARCHAR) || '.0'
+         ELSE p.p_name || ' ' || p.p_brand END AS mention
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+turns AS (
+  SELECT conv_id, turn_idx,
+    CASE turn_idx % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' ELSE 'tool' END AS role,
+    CASE WHEN turn_idx % 3 = 2 THEN
+      CASE WHEN l_orderkey % 2 = 0 THEN 'bom_lookup' ELSE 'part_search' END END AS tool,
+    ts, qty, mention,
+    LAG(mention) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS parent_mention
+  FROM turns_base
+),
+transcripts AS (
+  SELECT conv_id, turn_idx, role,
+    role || ' turn: ref=[' || mention || ']'
+      || COALESCE(' parent=[' || parent_mention || ']', '')
+      || ' qty=' || CAST(qty AS VARCHAR) AS text,
+    tool, ts
+  FROM turns
+),
+entities_raw AS (
+  SELECT 0 AS sheet_idx, p_partkey AS row_idx,
+    CAST(p_partkey AS VARCHAR) AS number,
+    p_name || ' ' || p_brand AS name,
+    p_type AS "type",
+    CASE WHEN p_partkey % 2 = 0 THEN 'make' ELSE 'buy' END AS source,
+    CASE p_partkey % 3 WHEN 0 THEN 'Design' WHEN 1 THEN 'Manufacturing' ELSE 'Service' END AS "view",
+    CASE p_partkey % 4 WHEN 0 THEN 'RELEASED' WHEN 1 THEN 'DESIGN'
+         WHEN 2 THEN 'INPLANNING' ELSE 'CANCELLED' END AS state,
+    CASE WHEN p_partkey % 5 = 0 THEN NULL
+         ELSE chr(CAST(64 + p_partkey % 5 AS INT)) END AS revision,
+    CASE WHEN p_partkey % 7 = 0 THEN NULL
+         ELSE 'container-' || CAST(p_partkey % 7 AS VARCHAR) END AS container,
+    CASE WHEN p_partkey % 101 = 100 THEN NULL
+         ELSE CASE p_partkey % 4 WHEN 0 THEN 'MechanicalPart' WHEN 1 THEN 'SoftwarePart'
+              WHEN 2 THEN 'Variant' ELSE 'WTPart' END END AS part_type
+  FROM part
+  UNION ALL
+  SELECT 1, p_partkey,
+    CAST(p_partkey AS VARCHAR),
+    p_name || ' ' || p_brand,
+    p_type,
+    CASE WHEN p_partkey % 2 = 0 THEN 'make' ELSE 'buy' END,
+    CASE p_partkey % 3 WHEN 0 THEN 'Design' WHEN 1 THEN 'Manufacturing' ELSE 'Service' END,
+    'RELEASED',
+    'Z',
+    CASE WHEN p_partkey % 7 = 0 THEN NULL
+         ELSE 'container-' || CAST(p_partkey % 7 AS VARCHAR) END,
+    CASE WHEN p_partkey % 101 = 100 THEN NULL
+         ELSE CASE p_partkey % 4 WHEN 0 THEN 'MechanicalPart' WHEN 1 THEN 'SoftwarePart'
+              WHEN 2 THEN 'Variant' ELSE 'WTPart' END END
+  FROM part WHERE p_partkey % 50 = 0
+),
+entities AS (
+  SELECT number, name, "type", source, "view", state, revision, container, part_type
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY number
+              ORDER BY sheet_idx DESC, row_idx DESC) AS rn
+        FROM entities_raw)
+  WHERE rn = 1
+),
+versions AS (
+  SELECT CAST(o_custkey AS VARCHAR) AS number,
+         o_orderkey AS version,
+         o_orderstatus AS state,
+         o_orderdate AS created_ts
+  FROM orders
+),
+changes AS (
+  SELECT 'CH-' || CAST(event_id AS VARCHAR) AS change_id,
+         event_type AS change_type,
+         CAST(user_id % (SELECT COUNT(*) FROM part) AS VARCHAR) AS affected_number,
+         ts
+  FROM events WHERE event_id % 20 = 0
+)
+"""
+
+
+def with_fixtures(query: str, extra_ctes: str = "") -> str:
+    """Wrap a SELECT with the shared fixture CTEs (plus optional extras)."""
+    extra = ("," + extra_ctes) if extra_ctes else ""
+    return f"WITH {FIXTURE_CTES}{extra}\n{query}"

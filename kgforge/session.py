@@ -1,0 +1,62 @@
+"""Spark session factory.
+
+Tuned for the sandbox (``local[$SPARK_GRAFT_CPUS]``, single JVM) but the
+settings are the ones we would ship to a 1000-executor cluster: AQE on
+(runtime re-plan, skew-join splitting, partition coalescing), Arrow on
+(every Python crossing is a columnar batch, never per-row pickle),
+broadcast threshold generous enough to keep the canonical-name
+dictionary on the map side of the linking join.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "kgforge",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or reuse) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` (or all). On a real
+    cluster this function is bypassed — ``spark-submit`` provides the
+    session — so every conf here is also safe as a ``--conf`` flag.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("KGFORGE_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS))
+        )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cores}]")
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB the
+        # Zipfian mention distribution makes skewed shuffles the norm, not the
+        # exception — AQE plus explicit salting (linking.py) covers both halves.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for every pandas UDF / toPandas crossing.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # The canonical dictionary is small relative to the fact side; let
+        # Catalyst broadcast it even when stats are conservative.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
