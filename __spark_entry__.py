@@ -1,10 +1,8 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Backed by :mod:`kgforge.gate`, the single registry pairing every
+implemented operator (SURVEY.md §2) with its DuckDB oracle SQL. The
+pytest suite runs the same registry, so local green == driver green.
 """
 
 from __future__ import annotations
@@ -15,24 +13,22 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full KG-construction pipeline on sf0.001 — extract ->
+    link -> edges -> closure -> triple families -> counts per predicate."""
+    from kgforge import materialize
+    from kgforge.pipeline import build_graph
+
+    build = build_graph(spark, "/root/testdata/sf0.001", closure_edge_mod=20)
+    return materialize.triple_counts(build.triples)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kgforge.gate import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kgforge.gate import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,100 @@
+"""Per-turn mention detection & extraction (SURVEY.md §2.5, T1-T6 analogues).
+
+Two extractors:
+
+1. :func:`extract_mentions` — structural extraction of the transcript
+   markup (``ref=[...]`` / ``parent=[...]``) using built-in regexp
+   functions. Pure JVM path, whole-stage codegen, oracle-checkable.
+
+2. :func:`detect_mentions_dictionary` — dictionary-based batched mention
+   detection as a vectorized pandas UDF (the north-star stage: scan free
+   text for any canonical name). One compiled alternation automaton per
+   executor, Arrow-batched; at cluster scale the dictionary rides a
+   Spark broadcast variable exactly as here.
+"""
+
+from __future__ import annotations
+
+import re
+from functools import reduce
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+REF_PATTERN = r"ref=\[([^\]]+)\]"
+PARENT_PATTERN = r"parent=\[([^\]]+)\]"
+
+
+def extract_mentions(transcripts: DataFrame) -> DataFrame:
+    """One row per (turn, slot) mention. Slots: 'ref' (the turn's own
+    subject mention) and 'parent' (the enclosing-assembly mention) —
+    the transcript analogue of the reference's name-BOM columns
+    (parse_bom_csv_by_name, spreadsheet_loader.py:254-294)."""
+    slots = []
+    for slot, pat in (("ref", REF_PATTERN), ("parent", PARENT_PATTERN)):
+        slots.append(
+            transcripts.select(
+                "conv_id",
+                "turn_idx",
+                F.lit(slot).alias("slot"),
+                F.regexp_extract("text", pat, 1).alias("mention"),
+            ).filter(F.col("mention") != "")
+        )
+    return reduce(DataFrame.unionByName, slots)
+
+
+def make_dictionary_detector(names: list[str]):
+    """Build a vectorized detector closed over the canonical-name list.
+
+    Longest-first alternation so overlapping names resolve to the
+    longest match (e.g. 'red plate Brand#8' before 'red plate').
+    The compiled regex acts as the automaton; for 10^6+ dictionaries
+    swap in an Aho-Corasick automaton behind the same signature.
+    """
+    ordered = sorted(set(names), key=lambda n: (-len(n), n))
+    pattern = re.compile("|".join(re.escape(n) for n in ordered)) if ordered else None
+
+    @pandas_udf("array<string>")
+    def detect(texts: pd.Series) -> pd.Series:
+        if pattern is None:
+            return pd.Series([[] for _ in texts])
+        return texts.map(lambda t: pattern.findall(t) if t else [])
+
+    return detect
+
+
+def detect_mentions_dictionary(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+    """Dictionary mention detection over free text -> exploded mention rows.
+
+    The dictionary is collected on the driver (it is the *small* side by
+    construction — same assumption the broadcast linking join makes) and
+    shipped once per executor inside the UDF closure.
+    """
+    names = [r[0] for r in entities.select("name").distinct().collect()]
+    detect = make_dictionary_detector(names)
+    return (
+        transcripts.withColumn("mentions", detect(F.col("text")))
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.explode("mentions").alias("mention"),
+        )
+    )
+
+
+def turn_entities(transcripts: DataFrame) -> DataFrame:
+    """Stable per-turn entity ids under the turn-ordering invariant:
+    subj = urn:turn:{conv_id}:{turn_idx} (window ordering on
+    (conv_id, turn_idx) per BASELINE.json north_star)."""
+    return transcripts.select(
+        F.concat(
+            F.lit("urn:turn:"), F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")
+        ).alias("turn_iri"),
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+    )

@@ -60,7 +60,7 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention = (
         F.when(pk % 19 == 3, F.concat(F.lit("unknown widget "), F.col("l_suppkey").cast("string")))
         .when(pk % 19 == 7, F.concat(pk.cast("string"), F.lit(".0")))
-        .otherwise(F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")))
+        .otherwise(_entity_name(pk))
     )
     w_turn = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
     base = (
@@ -106,11 +106,21 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _entity_name(pk):
+    """Entity display name: ~5% of parts (pk%20==9) share one of 5 pool
+    names (-> guaranteed-ambiguous, Zipfian-hot keys for the salted
+    join); the rest get a unique ' #pk' suffix (-> resolved)."""
+    base = F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand"))
+    return F.when(
+        pk % 20 == 9, F.concat(F.lit("pool part "), (pk % 5).cast("string"))
+    ).otherwise(F.concat(base, F.lit(" #"), pk.cast("string")))
+
+
 def _entity_cols(pk):
     """Shared column spec for both entity 'sheets' (sheet 1 overrides below)."""
     return {
         "number": pk.cast("string"),
-        "name": F.concat(F.col("p_name"), F.lit(" "), F.col("p_brand")),
+        "name": _entity_name(pk),
         "type": F.col("p_type"),
         "source": F.when(pk % 2 == 0, "make").otherwise("buy"),
         "view": F.when(pk % 3 == 0, "Design").when(pk % 3 == 1, "Manufacturing").otherwise("Service"),
@@ -183,6 +193,57 @@ def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderkey").alias("version"),
         F.col("o_orderstatus").alias("state"),
         F.col("o_orderdate").alias("created_ts"),
+    )
+
+
+def load_alternate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alternate/replacement links (reference parse_alternate_links :296-340)."""
+    part = _read(spark, sf_dir, "part")
+    n_parts = part.count()
+    pk = F.col("p_partkey")
+    return part.filter(pk % 37 == 5).select(
+        pk.cast("string").alias("child_number"),
+        ((pk + 13) % F.lit(n_parts)).cast("string").alias("replacement_number"),
+        F.lit("alternate").alias("replacement_type"),
+    )
+
+
+def load_describe_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-describes-part links (reference parse_describe_links :342-373)."""
+    sup = _read(spark, sf_dir, "supplier")
+    n_parts = _read(spark, sf_dir, "part").count()
+    sk = F.col("s_suppkey")
+    return sup.select(
+        F.concat(F.lit("DOC-"), sk.cast("string")).alias("document_number"),
+        (sk % F.lit(n_parts)).cast("string").alias("part_number"),
+        F.when(sk % 3 == 0, F.lit(None).cast("string"))
+        .otherwise(F.expr("char(65 + cast(s_suppkey % 3 as int))"))
+        .alias("document_revision"),
+        F.when(sk % 4 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("org-"), (sk % 4).cast("string")))
+        .alias("document_org"),
+        F.when(sk % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("lib-"), (sk % 5).cast("string")))
+        .alias("document_container"),
+    )
+
+
+def load_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-column hierarchical rows for the G1 stack decode
+    (reference data/bom.csv shape; spreadsheet_loader.py:1160-1182)."""
+    li = _read(spark, sf_dir, "lineitem")
+    w_turn = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    return (
+        li.withColumn("row_idx", (F.row_number().over(w_turn) - F.lit(1)).cast("int"))
+        .select(
+            F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string")).alias("group_id"),
+            "row_idx",
+            F.when(F.col("row_idx") == 0, 0)
+            .otherwise(1 + F.col("row_idx") % 2)
+            .cast("int")
+            .alias("level"),
+            F.col("l_partkey").cast("string").alias("number"),
+        )
     )
 
 

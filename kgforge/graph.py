@@ -1,0 +1,347 @@
+"""Hierarchy / graph operators (SURVEY.md §2.3 J4-J9, §2.4 G1-G8).
+
+The expensive pieces — transitive closure and connected components —
+are driver-side fixpoint loops over DataFrame joins with
+``localCheckpoint()`` per iteration to cut lineage (SURVEY §4.3): the
+distributed replacement for the reference's recursive Python DFS
+(/root/reference/src/utils/spreadsheet_loader.py:980-1024).
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+@contextmanager
+def _constraint_propagation_off(spark):
+    """Catalyst's Union constraint rewrite hits a NoSuchElementException
+    (key not found: attr) when unioning localCheckpoint'ed plans with
+    reused attribute ids (observed on Spark 4.1); constraint propagation
+    buys nothing inside a fixpoint loop, so turn it off for the loop."""
+    key = "spark.sql.constraintPropagation.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+# ------------------------------------------------------------------ edges
+def bom_edges_from_linked(linked: DataFrame) -> DataFrame:
+    """Assemble (parent, child) number edges from linked mention rows:
+    a turn contributes an edge when BOTH its 'parent' and 'ref' slots
+    resolved (reference resolve_edges_by_name :1072-1076 — an edge
+    drops unless both ends resolve to exactly one number). Self-loops
+    removed (validation.py:267-280); distinct (edge dedup :1221)."""
+    per_turn = linked.groupBy("conv_id", "turn_idx").agg(
+        F.max(F.when((F.col("slot") == "ref") & (F.col("status") == "resolved"), F.col("resolved_number"))).alias("child"),
+        F.max(F.when((F.col("slot") == "parent") & (F.col("status") == "resolved"), F.col("resolved_number"))).alias("parent"),
+    )
+    return (
+        per_turn.filter(F.col("parent").isNotNull() & F.col("child").isNotNull())
+        .filter(F.col("parent") != F.col("child"))
+        .select("parent", "child")
+        .dropDuplicates(["parent", "child"])
+    )
+
+
+def reverse_edges(edges: DataFrame) -> DataFrame:
+    """G3 usedIn: pure projection (build_used_in_triples :963-977)."""
+    return edges.select(F.col("child").alias("parent"), F.col("parent").alias("child"))
+
+
+# ------------------------------------------------------------------ closure
+def transitive_closure(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """G4: all (descendant-reachable) pairs — semi-naive fixpoint.
+
+    Semantics match the reference DFS (:980-1024): every (desc, anc)
+    with a path of >=1 edge; cycles converge because the frontier is
+    anti-joined against the accumulated closure (monotone). Reference
+    self-pairs inside cycles are reproduced naturally (A->B->A yields
+    (A,A)).
+
+    Pairs are oriented (parent, child) = (ancestor, descendant); the
+    partOfAssembly triple emitter flips them (subj=descendant).
+
+    At scale: each iteration is one shuffle-join on ``child``==``parent``;
+    AQE handles skewed hub parts; localCheckpoint truncates lineage so
+    iteration N doesn't replay 1..N-1.
+    """
+    with _constraint_propagation_off(edges.sparkSession):
+        closure = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        frontier = closure
+        for _ in range(max_iterations):
+            grown = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.child") == F.col("e.parent"))
+                .select(F.col("f.parent").alias("parent"), F.col("e.child").alias("child"))
+                .dropDuplicates()
+            )
+            new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                break
+            closure = closure.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+        return closure
+
+
+def khop_descendants(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFrame:
+    """G6/G8: bounded BFS from roots with depth column
+    (scripts/visualize_graph.py:99-157). roots: (number)."""
+    frontier = roots.select(
+        F.col("number").alias("root"), F.col("number").alias("node"), F.lit(0).alias("depth")
+    )
+    out = frontier
+    stack = _constraint_propagation_off(edges.sparkSession)
+    stack.__enter__()
+    for d in range(1, max_depth + 1):
+        frontier = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.node") == F.col("e.parent"))
+            .select(F.col("f.root").alias("root"), F.col("e.child").alias("node"), F.lit(d).alias("depth"))
+            .dropDuplicates()
+            .join(out.select("root", "node"), ["root", "node"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if frontier.isEmpty():
+            break
+        out = out.unionByName(frontier)
+    stack.__exit__(None, None, None)
+    return out
+
+
+def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """Connected components by iterative min-label propagation over the
+    undirected graph — the canonicalization pass of the north rule
+    (stable cluster representative = min member id). Returns
+    (node, component).
+
+    Each iteration: component[n] = min(component[n], min over neighbors)
+    — a shuffle groupBy on node. Converges in O(diameter) iterations;
+    for Zipfian graphs use with AQE skew handling (large-star/small-star
+    is the drop-in upgrade at extreme diameters).
+    """
+    cpo = _constraint_propagation_off(edges.sparkSession)
+    cpo.__enter__()
+    undirected = (
+        edges.select(F.col("parent").alias("a"), F.col("child").alias("b"))
+        .unionByName(edges.select(F.col("child").alias("a"), F.col("parent").alias("b")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        undirected.select(F.col("a").alias("node"))
+        .dropDuplicates()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            undirected.join(labels, undirected.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("component").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+            .select(
+                "node",
+                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+        )
+        no_change = changed.isEmpty()
+        labels = updated
+        if no_change:
+            break
+    cpo.__exit__(None, None, None)
+    return labels
+
+
+# ------------------------------------------------------------------ leaf/root
+def leaf_parts(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """G7: parts that are never a parent (FILTER NOT EXISTS analogue)."""
+    return entities.select("number").join(
+        edges.select(F.col("parent").alias("number")).dropDuplicates(), "number", "left_anti"
+    )
+
+
+def root_parts(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """G7: parts that are never a child."""
+    return entities.select("number").join(
+        edges.select(F.col("child").alias("number")).dropDuplicates(), "number", "left_anti"
+    )
+
+
+def missing_parts(entities: DataFrame, edges: DataFrame) -> DataFrame:
+    """J4: edge endpoints with no entity row -> MissingPart placeholders
+    (Neo4j MERGE ... ON CREATE SET partType='MissingPart', :672-679)."""
+    endpoints = (
+        edges.select(F.col("parent").alias("number"))
+        .unionByName(edges.select(F.col("child").alias("number")))
+        .dropDuplicates()
+    )
+    return endpoints.join(entities.select("number"), "number", "left_anti").withColumn(
+        "part_type", F.lit("MissingPart")
+    )
+
+
+# ------------------------------------------------------------------ self-joins
+def supersedes(entities: DataFrame) -> DataFrame:
+    """J5 (snowmobile_neo4j_importer.py:250-264): same name, different
+    number; lexicographically larger number supersedes the smaller."""
+    a = entities.select(F.col("name").alias("name"), F.col("number").alias("older"))
+    b = entities.select(F.col("name").alias("name"), F.col("number").alias("newer"))
+    return (
+        a.join(b, "name")
+        .filter(F.col("older") < F.col("newer"))
+        .select("newer", "older")
+    )
+
+
+def part_of_prefix(entities: DataFrame, edges: DataFrame, prefix_len: int = 3) -> DataFrame:
+    """J6 (:266-282): parts sharing a number prefix, minus pairs already
+    BOM-linked — equi-join on the extracted prefix key (the reference
+    runs this as an unindexed quadratic Cypher scan; SURVEY §4.2)."""
+    a = entities.select(
+        F.col("number").alias("member"), F.substring("number", 1, prefix_len).alias("pfx")
+    )
+    b = entities.select(
+        F.col("number").alias("assembly"), F.substring("number", 1, prefix_len).alias("pfx")
+    )
+    pairs = a.join(b, "pfx").filter(F.col("member") != F.col("assembly")).select("member", "assembly")
+    linked = edges.select(F.col("child").alias("member"), F.col("parent").alias("assembly"))
+    return pairs.join(linked, ["member", "assembly"], "left_anti")
+
+
+def depends_on(changes: DataFrame) -> DataFrame:
+    """J7 (:289-305): for changes touching the same part, the later
+    depends on the earlier."""
+    a = changes.select(
+        F.col("affected_number").alias("affected_number"),
+        F.col("change_id").alias("earlier"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = changes.select(
+        F.col("affected_number").alias("affected_number"),
+        F.col("change_id").alias("later"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(b, "affected_number")
+        .filter(F.col("ts_a") < F.col("ts_b"))
+        .select("later", "earlier")
+        .dropDuplicates()
+    )
+
+
+def related_to(changes: DataFrame, depends: DataFrame) -> DataFrame:
+    """J8 (:307-326): same change type, date-ordered, minus DEPENDS_ON."""
+    a = changes.select("change_type", F.col("change_id").alias("earlier"), F.col("ts").alias("ts_a"))
+    b = changes.select("change_type", F.col("change_id").alias("later"), F.col("ts").alias("ts_b"))
+    pairs = (
+        a.join(b, "change_type")
+        .filter(F.col("ts_a") < F.col("ts_b"))
+        .select("later", "earlier")
+        .dropDuplicates()
+    )
+    return pairs.join(depends, ["later", "earlier"], "left_anti")
+
+
+def evolves_to(versions: DataFrame) -> DataFrame:
+    """J9 (windchill_odata_temporal_import.py:228-246): each version links
+    to the minimum greater version of the same number — ``lead`` beats
+    the reference's join+collect (SURVEY §2.7)."""
+    w = Window.partitionBy("number").orderBy("version")
+    return (
+        versions.withColumn("next_version", F.lead("version").over(w))
+        .filter(F.col("next_version").isNotNull())
+        .select("number", "version", "next_version")
+    )
+
+
+# ------------------------------------------------------------------ level-stack
+def level_stack_decode(rows: DataFrame, max_level: int | None = None) -> DataFrame:
+    """G1 (spreadsheet_loader.py:1160-1182): order-dependent decode of a
+    (group_id, row_idx, level, number) hierarchy — keep a stack of the
+    last-seen part per level; a row at level L emits edge
+    (stack[L-1] -> number) and clears deeper levels.
+
+    Implemented with grouped ``applyInPandas`` (Arrow-batched, stateful
+    *within* a group, groups are bounded: one sheet / one conversation)
+    — the one place per-group sequential state is inherent (SURVEY §7.4).
+    """
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row_idx")
+        stack: dict[int, str] = {}
+        out = []
+        for level, number in zip(pdf["level"], pdf["number"]):
+            lvl = int(level)
+            if lvl > 0 and (lvl - 1) in stack:
+                out.append((stack[lvl - 1], number))
+            stack[lvl] = number
+            for deeper in [k for k in stack if k > lvl]:
+                del stack[deeper]
+        return pd.DataFrame(out, columns=["parent", "child"])
+
+    return rows.groupBy("group_id").applyInPandas(decode, schema="parent string, child string")
+
+
+def level_stack_decode_window(rows: DataFrame, max_level: int) -> DataFrame:
+    """G1 as pure window expressions (no Python): parent of a level-L row
+    is the last preceding row at level L-1. Exact when levels never jump
+    *down* by 2+ and back (no stale stack entries) — which holds for our
+    fixtures; the applyInPandas variant above is the general decoder."""
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy("row_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lasts = [
+        F.last(F.when(F.col("level") == lvl, F.col("number")), ignorenulls=True).over(w).alias(f"last_l{lvl}")
+        for lvl in range(max_level)
+    ]
+    df = rows.select("group_id", "row_idx", "level", "number", *lasts)
+    parent = F.lit(None).cast("string")
+    for lvl in range(1, max_level + 1):
+        parent = F.when(F.col("level") == lvl, F.col(f"last_l{lvl - 1}")).otherwise(parent)
+    return (
+        df.withColumn("parent", parent)
+        .filter(F.col("parent").isNotNull())
+        .select("parent", F.col("number").alias("child"))
+    )
+
+
+def level_stack_round_robin(rows: DataFrame) -> DataFrame:
+    """G2 legacy variant (:194-252): children at level L are distributed
+    round-robin over the level-(L-1) parts, by position. Documented as
+    semantically different from G1 (SURVEY §2.4); ``main`` uses G1."""
+    w_pos = Window.partitionBy("group_id", "level").orderBy("row_idx")
+    pos = rows.withColumn("pos", F.row_number().over(w_pos) - 1)
+    parents = pos.select(
+        "group_id",
+        (F.col("level") + 1).alias("level"),
+        F.col("pos").alias("ppos"),
+        F.col("number").alias("parent"),
+    )
+    counts = pos.groupBy("group_id", "level").agg(F.count("*").alias("n_at_level"))
+    pcounts = counts.select(
+        "group_id", (F.col("level") + 1).alias("level"), F.col("n_at_level").alias("n_parents")
+    )
+    return (
+        pos.join(pcounts, ["group_id", "level"])
+        .withColumn("ppos", F.pmod(F.col("pos"), F.col("n_parents")))
+        .join(parents, ["group_id", "level", "ppos"])
+        .select("parent", F.col("number").alias("child"))
+    )

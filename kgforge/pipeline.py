@@ -1,0 +1,123 @@
+"""End-to-end KG construction driver (SURVEY.md §3.1 analogue).
+
+read transcripts -> window-order -> extract mentions -> link against
+the canonical dictionary (broadcast or salted) -> assemble edges ->
+derive reverse + transitive-closure edges -> union triple families ->
+materialize subject-hash-bucketed triple table + N-Triples parity
+output + statistics, with per-partition manifest commits (resume.py).
+
+Run as: ``spark-submit --py-files kgforge.zip -m kgforge.pipeline`` (or
+``python -m kgforge.pipeline [sf_dir] [out_dir]`` locally).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import extract, fixtures, graph, linking, materialize, resume
+
+
+@dataclass
+class GraphBuild:
+    transcripts: DataFrame
+    entities: DataFrame
+    linked: DataFrame
+    edges: DataFrame
+    closure: DataFrame
+    triples: DataFrame
+
+
+def build_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "broadcast",
+    strict: bool = False,
+    closure_edge_mod: int | None = None,
+) -> GraphBuild:
+    """Assemble the full triple set. ``closure_edge_mod`` optionally
+    restricts the transitive-closure input to a deterministic edge
+    subset ((parent+child) % mod == 0) — the derived fixture graph is
+    far denser than a real BOM, and an unrestricted closure over it is
+    quadratic in the entity count (SURVEY §7.4 risk 3)."""
+    transcripts = fixtures.load_transcripts(spark, sf_dir)
+    entities = fixtures.load_entities(spark, sf_dir)
+    mentions = extract.extract_mentions(transcripts)
+    linked = linking.link_mentions(mentions, entities, strategy=strategy)
+    if strict:
+        linking.check_strict(linked)
+    # edges feed four downstream families -> cache once (SURVEY §4.3
+    # exchange-reuse: all triple families derive from the same edges).
+    edges = graph.bom_edges_from_linked(linked).cache()
+
+    closure_input = edges
+    if closure_edge_mod:
+        closure_input = edges.filter(
+            (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % closure_edge_mod == 0
+        )
+    closure = graph.transitive_closure(closure_input)
+
+    alt = fixtures.load_alternate_links(spark, sf_dir)
+    desc = fixtures.load_describe_links(spark, sf_dir)
+    triples = materialize.union_triples(
+        materialize.part_triples(entities),
+        materialize.bom_triples(edges),
+        materialize.used_in_triples(edges),
+        materialize.part_of_assembly_triples(closure),
+        materialize.alternate_triples(alt),
+        materialize.describe_triples(desc),
+        materialize.document_triples(desc),
+    )
+    return GraphBuild(transcripts, entities, linked, edges, closure, triples)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str | None = None,
+    strategy: str = "broadcast",
+    closure_edge_mod: int | None = 20,
+    write_ntriples: bool = False,
+    fail_after_commits: int | None = None,
+) -> dict:
+    """Build + materialize; returns summary statistics (triples per
+    predicate + totals, the reference's get_statistics :841-875)."""
+    build = build_graph(spark, sf_dir, strategy=strategy, closure_edge_mod=closure_edge_mod)
+    triples = build.triples.cache()
+    counts = {r["pred"]: r["n"] for r in materialize.triple_counts(triples).collect()}
+    total = int(sum(counts.values()))
+    if out_dir:
+        resume.write_triples_resumable(
+            triples,
+            out_dir,
+            lineage=f"sf_dir={sf_dir};strategy={strategy}",
+            fail_after_commits=fail_after_commits,
+        )
+        if write_ntriples:
+            materialize.write_ntriples(triples, f"{out_dir}/ntriples")
+    stats = {
+        "total_triples": total,
+        "per_predicate": counts,
+        "n_edges": build.edges.count(),
+    }
+    triples.unpersist()
+    build.edges.unpersist()
+    return stats
+
+
+def main() -> None:  # pragma: no cover
+    import json
+    import sys
+
+    from kgforge.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    spark = get_spark("kgforge-pipeline")
+    print(json.dumps(run_pipeline(spark, sf_dir, out_dir), indent=1, default=int))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

@@ -1,0 +1,144 @@
+"""Behavioral tests: strict mode, resume idempotency, level-stack exact
+semantics, dictionary mention detection, connected components, entry()."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from kgforge import extract, fixtures, graph, linking, resume
+
+
+def test_strict_mode_raises(spark, sf_dir):
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    linked = linking.link_mentions(extract.extract_mentions(t), e)
+    with pytest.raises(RuntimeError, match="strict name resolution failed"):
+        linking.check_strict(linked)
+
+
+def test_level_stack_stale_entry_cleared(spark):
+    """The tricky case the window variant can't express: after a jump
+    back to a shallow level, deeper stack entries are cleared, so a
+    later deep row with no fresh parent emits nothing
+    (reference stack-clear semantics, spreadsheet_loader.py:1171-1178)."""
+    rows = spark.createDataFrame(
+        [("g", 0, 0, "A"), ("g", 1, 1, "B"), ("g", 2, 2, "C"), ("g", 3, 0, "D"), ("g", 4, 2, "E")],
+        "group_id string, row_idx int, level int, number string",
+    )
+    got = {(r.parent, r.child) for r in graph.level_stack_decode(rows).collect()}
+    # E at level 2 must NOT attach to stale B; D cleared levels 1+.
+    assert got == {("A", "B"), ("B", "C")}
+
+
+def test_level_stack_window_matches_applyinpandas(spark, sf_dir):
+    rows = fixtures.load_hierarchy(spark, sf_dir)
+    a = {(r.parent, r.child) for r in graph.level_stack_decode(rows).dropDuplicates().collect()}
+    b = {(r.parent, r.child) for r in graph.level_stack_decode_window(rows, max_level=2).dropDuplicates().collect()}
+    assert a == b
+
+
+def test_dictionary_detector_finds_bracketed_names(spark, sf_dir):
+    """The pandas-UDF dictionary detector must find at least every
+    dictionary name that the structural extractor finds."""
+    t = fixtures.load_transcripts(spark, sf_dir).limit(500).cache()
+    e = fixtures.load_entities(spark, sf_dir)
+    det = set(
+        (r.conv_id, r.turn_idx, r.mention)
+        for r in extract.detect_mentions_dictionary(t, e).collect()
+    )
+    names = {r.name for r in e.select("name").distinct().collect()}
+    structural = set(
+        (r.conv_id, r.turn_idx, r.mention)
+        for r in extract.extract_mentions(t).collect()
+        if r.mention in names
+    )
+    assert structural <= det
+    t.unpersist()
+
+
+def test_connected_components_vs_union_find(spark, sf_dir):
+    edges = graph.bom_edges_from_linked(
+        linking.link_mentions(
+            extract.extract_mentions(fixtures.load_transcripts(spark, sf_dir)),
+            fixtures.load_entities(spark, sf_dir),
+        )
+    ).filter((F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % 10 == 0)
+    pdf = edges.toPandas()
+
+    parent: dict[str, str] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in zip(pdf["parent"], pdf["child"]):
+        union(a, b)
+    want = {n: find(n) for n in parent}
+    got = {r.node: r.component for r in graph.connected_components(edges).collect()}
+    assert got == want
+
+
+def test_resume_kill_and_rerun(spark, sf_dir, tmp_path):
+    """Crash after the first commit group, re-run, assert no duplicate or
+    missing triples (idempotent MERGE analogue, SURVEY §5 item 5)."""
+    from kgforge import materialize
+
+    triples = materialize.part_triples(fixtures.load_entities(spark, sf_dir)).cache()
+    expected = triples.count()
+    out = str(tmp_path / "kg")
+    with pytest.raises(resume.InjectedFailure):
+        resume.write_triples_resumable(triples, out, n_buckets=8, commit_every=2, fail_after_commits=1)
+    manifest = resume.read_manifest(out)
+    assert 0 < len(manifest["committed"]) < 8
+    # resume
+    resume.write_triples_resumable(triples, out, n_buckets=8, commit_every=2)
+    manifest = resume.read_manifest(out)
+    assert len(manifest["committed"]) == 8
+    got = resume.read_triples(spark, out)
+    assert got.count() == expected
+    assert got.dropDuplicates(["subj", "pred", "obj"]).count() == expected
+    # manifest counts match data
+    assert sum(v["n_triples"] for v in manifest["committed"].values()) == expected
+    triples.unpersist()
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as se
+
+    df = se.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"pred", "n"}
+    preds = {r.pred for r in rows}
+    assert "urn:ontology:hasComponent" in preds
+    assert "urn:ontology:partOfAssembly" in preds
+    assert "urn:ontology:usedIn" in preds
+
+
+def test_normalize_py_matches_reference_semantics():
+    from kgforge.normalize import normalize_part_number_py as n
+
+    assert n(float("nan")) == ""
+    assert n(None) == ""
+    assert n(123.0) == "123"
+    assert n(123.5) == "123.5"
+    assert n(123) == "123"
+    assert n("100 SNOW") == "100 SNOW"
+
+
+def test_iri_encode_udf_matches_quote(spark):
+    from kgforge.normalize import iri_encode_udf
+
+    df = spark.createDataFrame([("100 SNOW",), ("a#b/c",), ("plain",)], "s string")
+    got = {r[0] for r in df.select(iri_encode_udf("s")).collect()}
+    assert got == {"100%20SNOW", "a%23b/c", "plain"}
