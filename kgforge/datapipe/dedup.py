@@ -1,0 +1,203 @@
+"""Deduplication operators over the documents table.
+
+- exact: hash-groupBy on a normalized content fingerprint;
+- n-gram Jaccard: shingle explode -> self-join on shingle -> pair
+  aggregate (the exact pairwise path — quadratic in near-dup cluster
+  size, linear elsewhere because pairs only form on shared shingles);
+- MinHash + LSH: per-doc signatures (min of per-seed keyed hashes) ->
+  banding -> bucket join (the 100 TB path: no all-pairs stage, cost is
+  bounded by bucket collisions);
+- SimHash: 64-bit sign-aggregated token hashes (pandas UDF);
+- embedding-cosine near-dup lives in similarity.py.
+
+Hashing uses md5 hex strings (engine-portable, deterministic) rather
+than engine-native hash functions, so every stage is oracle-checkable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+from kgforge.datapipe.text import fingerprint_col
+
+DEFAULT_SHINGLE_K = 3
+DEFAULT_NUM_HASHES = 16
+DEFAULT_BAND_SIZE = 4
+
+
+def docs_with_dups(documents: DataFrame) -> DataFrame:
+    """Duplicate-injected corpus (the sandbox docs are all-distinct):
+    every 10th doc is replayed with doc_id + 1,000,000 — deterministic,
+    mirrored in the DuckDB oracle."""
+    clones = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return documents.unionByName(clones)
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: fingerprint -> (canonical doc = min id, size).
+    One hash-aggregate; at 100 TB this is the classic map-side-combine
+    groupBy, no skew risk beyond genuinely viral duplicates."""
+    return (
+        documents.withColumn("fp", fingerprint_col(F.col("text")))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def shingles(documents: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """Distinct word-k-gram shingles per doc (array ops, no UDF)."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return (
+        documents.select("doc_id", F.explode(grams).alias("shingle"))
+        .filter(F.col("shingle") != "")
+        .dropDuplicates(["doc_id", "shingle"])
+    )
+
+
+def jaccard_pairs(
+    documents: DataFrame, k: int = DEFAULT_SHINGLE_K, threshold: float = 0.8
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard_e6)."""
+    sh = shingles(documents, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_shingles", "na"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_shingles", "nb"), "doc_b")
+        .withColumn(
+            "jaccard_e6",
+            F.floor(F.col("n_shared") * 1000000 / (F.col("na") + F.col("nb") - F.col("n_shared"))).cast("bigint"),
+        )
+        .filter(F.col("jaccard_e6") >= int(threshold * 1_000_000))
+        .select("doc_a", "doc_b", "jaccard_e6")
+    )
+    return out
+
+
+def minhash_signatures(
+    documents: DataFrame, k: int = DEFAULT_SHINGLE_K, n_hashes: int = DEFAULT_NUM_HASHES
+) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, sig): sig = min over the
+    doc's shingles of md5(seed || ':' || shingle). Keyed-md5 stands in
+    for a permutation family; hex-string min is deterministic and
+    engine-portable."""
+    sh = shingles(documents, k)
+    seeded = sh.withColumn("seed", F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))))
+    return (
+        seeded.withColumn(
+            "h", F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    documents: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    n_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the signature, hash each band,
+    join docs sharing a band bucket. Never materializes all pairs —
+    the scale path for near-dup at 10^9+ docs."""
+    sigs = minhash_signatures(documents, k, n_hashes)
+    bands = (
+        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("seed", "sig"))),
+                        lambda s: s["sig"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+# ------------------------------------------------------------------ SimHash
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens with md5-derived token
+    hashes (deterministic across machines — no Python hash())."""
+    vec = [0] * 64
+    for tok in (text or "").lower().split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        for bit in range(64):
+            vec[bit] += 1 if (h >> bit) & 1 else -1
+    out = 0
+    for bit in range(64):
+        if vec[bit] > 0:
+            out |= 1 << bit
+    return out - (1 << 63)  # two's complement into signed int64
+
+
+@pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(simhash64)
+
+
+def simhash_near_dups(documents: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs via banded blocking: split the 64-bit hash
+    into ``n_bands`` chunks; a pair within hamming distance < n_bands
+    must agree on >=1 chunk (pigeonhole), so candidates come from a
+    chunk-equality join, then exact popcount filters."""
+    hashed = documents.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
+    chunk_bits = 64 // n_bands
+    chunks = hashed.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "sh", "bc.band", "bc.chunk")
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "chunk")
+    cand = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("doc_a", "doc_b", "hamming")

@@ -1,0 +1,133 @@
+"""Text analysis over the documents table: language-ID (token-count
+heuristic), quality scoring, token counting, document fingerprinting.
+
+All hot paths are pure column expressions (JVM, codegen). Ratios are
+surfaced as scaled BIGINTs so cross-engine compares are exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Deterministic indicator vocabularies for the n-gram-count language
+# heuristic. The sandbox corpus is synthetic word salad, so these are
+# corpus words, not real stopwords — the *mechanics* (tokenize, count
+# per language, argmax with fixed tie order) are what matters.
+LANG_INDICATORS: dict[str, list[str]] = {
+    "en": ["the", "a"],
+    "de": ["fast", "value"],
+    "fr": ["join", "query"],
+    "es": ["data", "row"],
+    "zh": ["window", "merge"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "zh"]  # argmax tie-break order
+
+TOKEN_REGEX = "[a-z]+|[0-9]+|[^a-z0-9 ]"  # BPE-ish: words / numbers / symbols
+
+
+def count_occurrences(col: Column, needle: str) -> Column:
+    """Occurrences of a literal substring — (len - len(removed)) / len(needle);
+    pure string ops, identical in any engine."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+def token_count_regex(col: Column) -> Column:
+    """BPE-ish token count: letter runs, digit runs, single symbols."""
+    return F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"))
+
+
+def _padded(col: Column) -> Column:
+    return F.concat(F.lit(" "), col, F.lit(" "))
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language indicator-token counts over whitespace-delimited text."""
+    padded = _padded(col)
+    return {
+        lang: sum(
+            (count_occurrences(padded, f" {w} ") for w in words), F.lit(0).cast("bigint")
+        )
+        for lang, words in LANG_INDICATORS.items()
+    }
+
+
+def lang_id(col: Column) -> Column:
+    """argmax over lang_scores with fixed tie-break order (LANG_ORDER)."""
+    scores = lang_scores(col)
+    best_lang = F.lit(LANG_ORDER[0])
+    best_score = scores[LANG_ORDER[0]]
+    for lang in LANG_ORDER[1:]:
+        is_better = scores[lang] > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / token / stopword-ratio quality features.
+
+    stopword_ratio_e6 = 1e6 * (indicator-token hits) / tokens, floored —
+    scaled-int so the value hashes identically across engines.
+    """
+    c = F.col(text_col)
+    tokens = token_count_ws(c)
+    stop_hits = sum(
+        (count_occurrences(_padded(c), f" {w} ") for ws in LANG_INDICATORS.values() for w in ws),
+        F.lit(0).cast("bigint"),
+    )
+    return df.select(
+        "doc_id",
+        F.length(c).alias("n_chars"),
+        tokens.alias("n_tokens"),
+        (F.floor(F.length(F.replace(c, F.lit(" "), F.lit(""))) * 1000 / tokens))
+        .cast("bigint")
+        .alias("avg_token_len_e3"),
+        F.floor(stop_hits * 1000000 / tokens).cast("bigint").alias("stopword_ratio_e6"),
+    )
+
+
+def fingerprint_col(col: Column) -> Column:
+    """Content fingerprint: md5 of lowercased text with non-alnum
+    squeezed — the cheap exact-dedup key."""
+    normalized = F.regexp_replace(F.lower(col), "[^a-z0-9]+", " ")
+    return F.md5(F.trim(normalized))
+
+
+def rolling_fingerprints(texts: pd.Series, window: int = 4) -> pd.Series:
+    """Winnowing-style rolling-hash fingerprint (pure pandas; wrapped as
+    a UDF below): hash every ``window``-gram of tokens, keep the minimum
+    per sliding window of hashes — robust to small local edits."""
+
+    def fp(t: str) -> str:
+        toks = (t or "").lower().split()
+        if len(toks) < window:
+            return hashlib.md5(" ".join(toks).encode()).hexdigest()
+        hashes = [
+            int.from_bytes(
+                hashlib.md5(" ".join(toks[i : i + window]).encode()).digest()[:8], "big"
+            )
+            for i in range(len(toks) - window + 1)
+        ]
+        selected = sorted({min(hashes[i : i + window]) for i in range(max(1, len(hashes) - window + 1))})
+        return hashlib.md5(",".join(map(str, selected)).encode()).hexdigest()
+
+    return texts.map(fp)
+
+
+@pandas_udf(StringType())
+def rolling_fingerprint_udf(texts: pd.Series) -> pd.Series:
+    return rolling_fingerprints(texts)

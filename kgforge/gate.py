@@ -419,3 +419,241 @@ def q_ntriples_lines(spark, sf_dir):
     ents = fixtures.load_entities(spark, sf_dir)
     name_triples = materialize.part_triples(ents).filter(F.col("pred") == "urn:ontology:name")
     return materialize.ntriples_lines(name_triples)
+
+
+# ================================================================== datapipe
+# Training-data pipeline operators over documents/embeddings (the extra
+# first-class ops beyond the reference: dedup, similarity, text analysis).
+from kgforge.datapipe import dedup as dd
+from kgforge.datapipe import similarity as sim
+from kgforge.datapipe import text as dtext
+
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+DOCS_PLUS_CTE = """
+docs_plus AS (
+  SELECT * FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source, n_chars
+  FROM documents WHERE doc_id % 10 = 0
+),
+doc_fp AS (
+  SELECT doc_id, md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+  FROM docs_plus
+),
+doc_shingles AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM docs_plus),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''
+)"""
+
+
+@_register(
+    "doc_token_counts",
+    "SELECT doc_id,"
+    " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,"
+    " CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_tokens_bpe"
+    " FROM documents",
+)
+def q_doc_token_counts(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        dtext.token_count_ws(F.col("text")).cast("bigint").alias("n_tokens_ws"),
+        dtext.token_count_regex(F.col("text")).cast("bigint").alias("n_tokens_bpe"),
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: " + ".join(
+        f"(length(p) - length(replace(p, ' {w} ', ''))) // {len(w) + 2}" for w in words
+    )
+    for lang, words in dtext.LANG_INDICATORS.items()
+}
+_LANG_SCORES_UNION = " UNION ALL ".join(
+    f"SELECT doc_id, '{lang}' AS cand, {ord_} AS ord, {_LANG_SCORE_SQL[lang]} AS score FROM padded"
+    for ord_, lang in enumerate(dtext.LANG_ORDER)
+)
+
+LANG_ID_SQL = f"""
+WITH padded AS (SELECT doc_id, lang, ' ' || text || ' ' AS p FROM documents),
+scores AS ({_LANG_SCORES_UNION})
+SELECT p.doc_id, p.lang AS actual_lang, s.cand AS predicted_lang
+FROM padded p
+JOIN (SELECT doc_id, cand,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, ord) AS rn
+      FROM scores) s
+  ON p.doc_id = s.doc_id AND s.rn = 1
+"""
+
+
+@_register("doc_lang_id", LANG_ID_SQL)
+def q_doc_lang_id(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        dtext.lang_id(F.col("text")).alias("predicted_lang"),
+    )
+
+
+@_register(
+    "doc_quality",
+    """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       CAST(floor(length(replace(text, ' ', '')) * 1000.0
+            / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS avg_token_len_e3,
+       CAST(floor(("""
+    + " + ".join(
+        f"(length(' '||text||' ') - length(replace(' '||text||' ', ' {w} ', ''))) // {len(w) + 2}"
+        for ws in dtext.LANG_INDICATORS.values()
+        for w in ws
+    )
+    + """) * 1000000.0
+            / len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS stopword_ratio_e6
+       FROM documents""",
+)
+def q_doc_quality(spark, sf_dir):
+    out = dtext.quality_features(_documents(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "avg_token_len_e3",
+        "stopword_ratio_e6",
+    )
+
+
+@_register(
+    "doc_fingerprints",
+    f"WITH {DOCS_PLUS_CTE[1:]}\nSELECT doc_id, fp FROM doc_fp WHERE doc_id < 1000000",
+)
+def q_doc_fingerprints(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", dtext.fingerprint_col(F.col("text")).alias("fp"))
+
+
+@_register(
+    "dedup_exact",
+    f"WITH {DOCS_PLUS_CTE[1:]}\n"
+    "SELECT fp, min(doc_id) AS canonical_doc_id, count(*) AS n_copies"
+    " FROM doc_fp GROUP BY fp",
+)
+def q_dedup_exact(spark, sf_dir):
+    return dd.exact_dedup(dd.docs_with_dups(_documents(spark, sf_dir)))
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""WITH {DOCS_PLUS_CTE[1:]},
+sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+  FROM doc_shingles a JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       CAST(floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_e6
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) >= 800000""",
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    return dd.jaccard_pairs(dd.docs_with_dups(_documents(spark, sf_dir)))
+
+
+@_register(
+    "dedup_minhash_lsh",
+    f"""WITH {DOCS_PLUS_CTE[1:]},
+sigs AS (
+  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS sig
+  FROM doc_shingles, LATERAL (SELECT unnest(generate_series(0, 15)) AS seed)
+  GROUP BY doc_id, seed),
+bands AS (
+  SELECT doc_id, seed // 4 AS band, md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
+  FROM sigs GROUP BY doc_id, seed // 4)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""",
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dd.lsh_candidate_pairs(dd.docs_with_dups(_documents(spark, sf_dir)))
+
+
+COSINE_TOPK_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 50 = 0),
+sims AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(qv, c.v)
+         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))) AS cosine
+  FROM q, e c WHERE c.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cosine_e4
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM sims)
+WHERE rank <= 5
+"""
+
+
+@_register("ann_cosine_topk", COSINE_TOPK_SQL)
+def q_ann_cosine_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.cosine_topk(queries, emb, k=5).withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@_register(
+    "embedding_near_dups",
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       CAST(floor(list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) * 10000) AS BIGINT) AS cosine_e4
+FROM e a, e b
+WHERE a.vec_id < b.vec_id
+  AND list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35""",
+)
+def q_embedding_near_dups(spark, sf_dir):
+    return sim.embedding_near_dups(_embeddings(spark, sf_dir), threshold=0.35)
+
+
+# -------- weaker rows-only checks (not expressible / not worth SQL) --------
+@_register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark, sf_dir):
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return sim.lsh_ann_topk(queries, emb, k=5)
+
+
+@_register("dedup_simhash", None)
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_near_dups(dd.docs_with_dups(_documents(spark, sf_dir)))
+
+
+@_register("multimodal_decode", None)
+def q_multimodal_decode(spark, sf_dir):
+    from kgforge.datapipe import multimodal as mm
+
+    return mm.decode_features(mm.attach_media(_documents(spark, sf_dir)))
+
+
+@_register("doc_rolling_fingerprints", None)
+def q_doc_rolling_fingerprints(spark, sf_dir):
+    docs = _documents(spark, sf_dir)
+    return docs.select("doc_id", dtext.rolling_fingerprint_udf(F.col("text")).alias("rfp"))
+
+
+@_register("connected_components", None)
+def q_connected_components(spark, sf_dir):
+    edges = _edges(spark, sf_dir).filter(
+        (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % 10 == 0
+    )
+    return graph.connected_components(edges)

@@ -56,39 +56,79 @@ def reverse_edges(edges: DataFrame) -> DataFrame:
     return edges.select(F.col("child").alias("parent"), F.col("parent").alias("child"))
 
 
+class ClosureNotConverged(RuntimeError):
+    """Raised when a fixpoint loop exhausts max_iterations — silent
+    truncation would drop the longest-path pairs (caught live: a
+    64-iteration cap lost 37 deep pairs at sf0.1)."""
+
+
 # ------------------------------------------------------------------ closure
-def transitive_closure(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
-    """G4: all (descendant-reachable) pairs — semi-naive fixpoint.
+def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
+    """G4: all reachable (ancestor, descendant) pairs — path-doubling
+    fixpoint: R <- R ∪ (R ⋈ R), so covered path lengths double each
+    round and convergence takes ceil(log2(diameter)) iterations.
 
     Semantics match the reference DFS (:980-1024): every (desc, anc)
-    with a path of >=1 edge; cycles converge because the frontier is
-    anti-joined against the accumulated closure (monotone). Reference
+    with a path of >=1 edge; cycles converge because new pairs are
+    anti-joined against the accumulated closure (monotone); reference
     self-pairs inside cycles are reproduced naturally (A->B->A yields
-    (A,A)).
+    (A,A)). Pairs are oriented (parent, child) = (ancestor,
+    descendant); the partOfAssembly triple emitter flips them.
 
-    Pairs are oriented (parent, child) = (ancestor, descendant); the
-    partOfAssembly triple emitter flips them (subj=descendant).
+    Chosen over per-edge semi-naive iteration
+    (:func:`transitive_closure_seminaive`) because long chains make the
+    linear loop driver-round-trip-bound, and an iteration cap there
+    silently truncates deep pairs. 2^24 path length is unreachable in
+    practice; hitting the cap raises instead of truncating.
 
-    At scale: each iteration is one shuffle-join on ``child``==``parent``;
-    AQE handles skewed hub parts; localCheckpoint truncates lineage so
-    iteration N doesn't replay 1..N-1.
+    At scale: each iteration is one self-shuffle-join; AQE splits
+    skewed hub keys; localCheckpoint flattens the plan each round so
+    iteration N never replays 1..N-1.
     """
     with _constraint_propagation_off(edges.sparkSession):
         closure = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
-        frontier = closure
         for _ in range(max_iterations):
             grown = (
+                closure.alias("l")
+                .join(closure.alias("r"), F.col("l.child") == F.col("r.parent"))
+                .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
+                .dropDuplicates()
+            )
+            new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(eager=True)
+            if new.isEmpty():
+                return closure
+            closure = closure.unionByName(new).dropDuplicates().localCheckpoint(eager=True)
+        raise ClosureNotConverged(f"no fixpoint after {max_iterations} doubling rounds")
+
+
+def transitive_closure_seminaive(edges: DataFrame, max_iterations: int = 512) -> DataFrame:
+    """G4 via classic semi-naive iteration (Δ ⋈ E per round): one round
+    per path length. Wins when deltas are tiny and the doubling join's
+    path-count intermediate would blow up on dense graphs; loses badly
+    on long chains. Raises rather than silently truncating at the cap
+    — with the default 64-round cap this variant dropped the 37
+    deepest pairs of the sf0.1 fixture graph (diameter > 64)."""
+    with _constraint_propagation_off(edges.sparkSession):
+        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        closure = base
+        frontier = base
+        for i in range(max_iterations):
+            grown = (
                 frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.child") == F.col("e.parent"))
+                .join(base.alias("e"), F.col("f.child") == F.col("e.parent"))
                 .select(F.col("f.parent").alias("parent"), F.col("e.child").alias("child"))
                 .dropDuplicates()
             )
             new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(eager=True)
             if new.isEmpty():
-                break
-            closure = closure.unionByName(new).localCheckpoint(eager=True)
+                return closure
+            # union of checkpointed deltas; flatten periodically to keep
+            # the logical plan shallow
+            closure = closure.unionByName(new)
+            if (i + 1) % 16 == 0:
+                closure = closure.localCheckpoint(eager=True)
             frontier = new
-        return closure
+        raise ClosureNotConverged(f"no fixpoint after {max_iterations} semi-naive rounds")
 
 
 def khop_descendants(edges: DataFrame, roots: DataFrame, max_depth: int) -> DataFrame:
@@ -163,9 +203,10 @@ def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFram
         no_change = changed.isEmpty()
         labels = updated
         if no_change:
-            break
+            cpo.__exit__(None, None, None)
+            return labels
     cpo.__exit__(None, None, None)
-    return labels
+    raise ClosureNotConverged(f"components not stable after {max_iterations} rounds")
 
 
 # ------------------------------------------------------------------ leaf/root
