@@ -657,3 +657,251 @@ def q_connected_components(spark, sf_dir):
         (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % 10 == 0
     )
     return graph.connected_components(edges)
+
+
+# ================================================================== reports,
+# scalar ops, k-hop, G2 — remaining SURVEY §2 coverage
+from kgforge import normalize, reports
+
+
+@_register(
+    "name_index_report",
+    with_linking(
+        "SELECT name, unnest(candidates) AS number,"
+        " CAST(len(candidates) AS INT) AS n_candidates FROM name_index"
+    ),
+)
+def q_name_index_report(spark, sf_dir):
+    return reports.name_index_report(fixtures.load_entities(spark, sf_dir))
+
+
+@_register(
+    "skip_log",
+    with_linking(
+        "SELECT mention, status, count(*) AS n_occurrences FROM linked"
+        " WHERE status <> 'resolved' GROUP BY mention, status"
+    ),
+)
+def q_skip_log(spark, sf_dir):
+    return reports.skip_log(_linked(spark, sf_dir))
+
+
+@_register(
+    "bom_by_name",
+    with_linking(
+        """SELECT COALESCE(ep.name, x.parent) AS parent_name,
+                  COALESCE(ec.name, x.child) AS child_name,
+                  x.parent, x.child
+           FROM edges x
+           LEFT JOIN entities ep ON ep.number = x.parent
+           LEFT JOIN entities ec ON ec.number = x.child"""
+    ),
+)
+def q_bom_by_name(spark, sf_dir):
+    return reports.bom_by_name(_edges(spark, sf_dir), fixtures.load_entities(spark, sf_dir))
+
+
+_COLOR_CASE = """CASE
+  WHEN state = 'RELEASED' THEN '#27ae60' WHEN state = 'DESIGN' THEN '#3498db'
+  WHEN state = 'INPLANNING' THEN '#f39c12' WHEN state = 'UNDERREVIEW' THEN '#e67e22'
+  WHEN source = 'make' THEN '#27ae60' WHEN source = 'buy' THEN '#e67e22'
+  WHEN part_type = 'MechanicalPart' THEN '#3498db' WHEN part_type = 'SoftwarePart' THEN '#9b59b6'
+  WHEN part_type = 'Variant' THEN '#e74c3c' WHEN part_type = 'WTPart' THEN '#2ecc71'
+  ELSE '#95a5a6' END"""
+
+_SIZE_SQL = (
+    "CAST(30 + 5 * ("
+    + " + ".join(
+        f"(CASE WHEN \"{c}\" IS NOT NULL AND \"{c}\" <> '' THEN 1 ELSE 0 END)"
+        for c in ["type", "source", "view", "state", "revision", "container"]
+    )
+    + ") AS INT)"
+)
+
+
+@_register(
+    "display_attrs",
+    with_fixtures(
+        f"SELECT number, {_COLOR_CASE} AS display_color, {_SIZE_SQL} AS node_size FROM entities"
+    ),
+)
+def q_display_attrs(spark, sf_dir):
+    e = fixtures.load_entities(spark, sf_dir)
+    return e.select(
+        "number",
+        normalize.display_color_col(
+            F.col("state"), F.col("source"), F.col("part_type")
+        ).alias("display_color"),
+        normalize.display_size_col(
+            F.col("type"), F.col("source"), F.col("view"),
+            F.col("state"), F.col("revision"), F.col("container"),
+        ).alias("node_size"),
+    )
+
+
+_GATE_KEYWORDS = ["widget", "rod", "plate", "pool"]
+
+
+@_register(
+    "keyword_classify",
+    with_fixtures(
+        "SELECT number, regexp_matches(lower(number || ' ' || name),"
+        f" '{'|'.join(_GATE_KEYWORDS)}') AS is_match FROM entities"
+    ),
+)
+def q_keyword_classify(spark, sf_dir):
+    e = fixtures.load_entities(spark, sf_dir)
+    return e.select(
+        "number",
+        normalize.keyword_classifier_col(
+            F.col("number"), F.col("name"), _GATE_KEYWORDS
+        ).alias("is_match"),
+    )
+
+
+@_register(
+    "stable_ids",
+    with_fixtures(
+        "SELECT number, sha256(number || chr(31) || name) AS stable_id FROM entities"
+    ),
+)
+def q_stable_ids(spark, sf_dir):
+    e = fixtures.load_entities(spark, sf_dir)
+    return e.select(
+        "number", normalize.stable_id_col(F.col("number"), F.col("name")).alias("stable_id")
+    )
+
+
+@_register(
+    "parse_dates",
+    with_fixtures(
+        """SELECT number, version,
+                  CAST(epoch(CAST(strftime(created_ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)) AS BIGINT) AS parsed_epoch
+           FROM versions"""
+    ),
+)
+def q_parse_dates(spark, sf_dir):
+    v = fixtures.load_versions(spark, sf_dir)
+    iso = F.date_format("created_ts", "yyyy-MM-dd HH:mm:ss")
+    return v.select(
+        "number", "version", normalize.parse_date_col(iso).alias("parsed_epoch")
+    )
+
+
+@_register(
+    "turn_classes",
+    with_fixtures(
+        """SELECT conv_id, turn_idx,
+                  CASE WHEN role = 'tool' THEN COALESCE('Tool:' || tool, 'Tool')
+                       WHEN role = 'assistant' THEN 'AssistantTurn'
+                       WHEN role = 'user' THEN 'UserTurn'
+                       ELSE 'Turn' END AS turn_class
+           FROM transcripts"""
+    ),
+)
+def q_turn_classes(spark, sf_dir):
+    t = fixtures.load_transcripts(spark, sf_dir)
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        normalize.classify_role_col(F.col("role"), F.col("tool")).alias("turn_class"),
+    )
+
+
+KHOP_CTES = """
+es AS (SELECT parent, child FROM edges
+       WHERE (CAST(parent AS BIGINT) + CAST(child AS BIGINT)) % 10 = 0),
+roots AS (SELECT number FROM entities WHERE CAST(number AS BIGINT) % 211 = 7),
+walk AS (
+  SELECT number AS root, number AS node, 0 AS depth FROM roots
+  UNION ALL
+  SELECT w.root, e.child, w.depth + 1 FROM walk w JOIN es e ON w.node = e.parent
+  WHERE w.depth < 4
+)"""
+
+
+@_register(
+    "khop_descendants",
+    with_linking(
+        "SELECT root, node, CAST(min(depth) AS INT) AS depth FROM walk GROUP BY root, node",
+        extra_ctes=KHOP_CTES,
+    ),
+)
+def q_khop_descendants(spark, sf_dir):
+    edges = _edges(spark, sf_dir).filter(
+        (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % 10 == 0
+    )
+    roots = fixtures.load_entities(spark, sf_dir).filter(
+        F.col("number").cast("bigint") % 211 == 7
+    )
+    return graph.khop_descendants(edges, roots, max_depth=4)
+
+
+@_register(
+    "deepest_paths",
+    with_linking(
+        """SELECT root, CAST(max(depth) AS INT) AS max_depth FROM (
+             SELECT root, node, min(depth) AS depth FROM walk GROUP BY root, node)
+           GROUP BY root""",
+        extra_ctes=KHOP_CTES,
+    ),
+)
+def q_deepest_paths(spark, sf_dir):
+    return materialize.deepest_paths(q_khop_descendants(spark, sf_dir))
+
+
+@_register(
+    "level_stack_round_robin",
+    with_fixtures(
+        """SELECT p.parent, c.number AS child
+           FROM pos c
+           JOIN pcounts pc ON c.group_id = pc.group_id AND c.level = pc.level
+           JOIN parents p ON p.group_id = c.group_id AND p.level = c.level
+                          AND p.ppos = c.pos % pc.n_parents""",
+        extra_ctes="""
+pos AS (SELECT group_id, level, number, row_idx,
+               ROW_NUMBER() OVER (PARTITION BY group_id, level ORDER BY row_idx) - 1 AS pos
+        FROM hierarchy),
+parents AS (SELECT group_id, level + 1 AS level, pos AS ppos, number AS parent FROM pos),
+pcounts AS (SELECT group_id, level + 1 AS level, count(*) AS n_parents
+            FROM pos GROUP BY group_id, level)""",
+    ),
+)
+def q_level_stack_round_robin(spark, sf_dir):
+    return graph.level_stack_round_robin(fixtures.load_hierarchy(spark, sf_dir))
+
+
+@_register(
+    "edge_label_triples",
+    """SELECT 'urn:ontology:' || p AS subj,
+              'http://www.w3.org/2000/01/rdf-schema#label' AS pred,
+              p AS obj, TRUE AS obj_is_literal
+       FROM (VALUES ('hasComponent'), ('usedIn'), ('partOfAssembly'),
+                    ('hasAlternate'), ('describes')) t(p)""",
+)
+def q_edge_label_triples(spark, sf_dir):
+    return materialize.edge_label_triples(spark)
+
+
+@_register(
+    "validation_counters",
+    with_fixtures(
+        """SELECT count(*) AS n_rows,
+                  CAST(sum(CASE WHEN number IS NOT NULL AND number <> ''
+                       AND NOT regexp_matches(number, '[<>:"|?*]') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_number,
+                  CAST(sum(CASE WHEN name IS NOT NULL AND name <> ''
+                       AND length(name) <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_name
+           FROM entities_raw"""
+    ),
+)
+def q_validation_counters(spark, sf_dir):
+    raw = fixtures.load_entities_raw(spark, sf_dir)
+    return raw.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(normalize.valid_number_col(F.col("number")).cast("int"))
+        .cast("bigint")
+        .alias("n_valid_number"),
+        F.sum(normalize.valid_name_col(F.col("name")).cast("int"))
+        .cast("bigint")
+        .alias("n_valid_name"),
+    )

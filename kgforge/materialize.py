@@ -116,6 +116,16 @@ def document_triples(links: DataFrame) -> DataFrame:
     )
 
 
+EDGE_LABEL_PREDS = ["hasComponent", "usedIn", "partOfAssembly", "hasAlternate", "describes"]
+
+
+def edge_label_triples(spark) -> DataFrame:
+    """T8 (:1495-1510): static rdfs:label triples for the 5 edge
+    predicates (--add-edge-labels)."""
+    rows = [(ONT + p, RDFS_LABEL, p, True) for p in EDGE_LABEL_PREDS]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string, obj_is_literal boolean")
+
+
 def union_triples(*families: DataFrame) -> DataFrame:
     """§2.8: union of the triple families (reference list concat :1512-1513)."""
     return reduce(DataFrame.unionByName, families)

@@ -136,6 +136,45 @@ def parse_date_col(col: Column) -> Column:
     )
 
 
+# ---------------------------------------------------------------- P15
+STATE_COLORS = {
+    "RELEASED": "#27ae60",
+    "DESIGN": "#3498db",
+    "INPLANNING": "#f39c12",
+    "UNDERREVIEW": "#e67e22",
+}
+SOURCE_COLORS = {"make": "#27ae60", "buy": "#e67e22"}
+PART_TYPE_COLORS = {
+    "MechanicalPart": "#3498db",
+    "SoftwarePart": "#9b59b6",
+    "Variant": "#e74c3c",
+    "WTPart": "#2ecc71",
+}
+DEFAULT_COLOR = "#95a5a6"
+
+
+def display_color_col(state: Column, source: Column, part_type: Column) -> Column:
+    """P15 (spreadsheet_loader.py:539-576): priority cascade
+    state > source > part_type > default."""
+    expr = F.lit(DEFAULT_COLOR)
+    for pt, c in reversed(PART_TYPE_COLORS.items()):
+        expr = F.when(part_type == pt, c).otherwise(expr)
+    for s, c in reversed(SOURCE_COLORS.items()):
+        expr = F.when(source == s, c).otherwise(expr)
+    for st, c in reversed(STATE_COLORS.items()):
+        expr = F.when(state == st, c).otherwise(expr)
+    return expr
+
+
+def display_size_col(*metadata_cols: Column) -> Column:
+    """P15 (:579-586): 30 + 5 per truthy metadata field."""
+    count = sum(
+        (F.when(c.isNotNull() & (c != ""), 1).otherwise(0) for c in metadata_cols),
+        F.lit(0),
+    )
+    return (F.lit(30) + count * 5).cast("int")
+
+
 # ---------------------------------------------------------------- P14
 def stable_id_col(*cols: Column) -> Column:
     """Deterministic content id replacing the reference's run-unstable
