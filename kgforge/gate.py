@@ -905,3 +905,72 @@ def q_validation_counters(spark, sf_dir):
         .cast("bigint")
         .alias("n_valid_name"),
     )
+
+
+# ================================================================== canonicalization,
+# IRI encoding, versions, JSON source, streaming coverage
+from kgforge import canonicalize
+
+
+@_register(
+    "canonical_iris",
+    with_fixtures(
+        """SELECT number, name,
+                  min(number) OVER (PARTITION BY name) AS canonical_number,
+                  'urn:part:' || replace(replace(min(number) OVER (PARTITION BY name), ' ', '%20'), '#', '%23') AS canonical_iri
+           FROM entities"""
+    ),
+)
+def q_canonical_iris(spark, sf_dir):
+    out = canonicalize.assign_canonical_iris(fixtures.load_entities(spark, sf_dir))
+    return out.select("number", "name", "canonical_number", "canonical_iri")
+
+
+@_register(
+    "iri_encoded_names",
+    with_fixtures(
+        "SELECT number, replace(replace(name, ' ', '%20'), '#', '%23') AS iri_name"
+        " FROM entities"
+    ),
+)
+def q_iri_encoded_names(spark, sf_dir):
+    from kgforge.normalize import iri_encode_udf
+
+    e = fixtures.load_entities(spark, sf_dir)
+    return e.select("number", iri_encode_udf(F.col("name")).alias("iri_name"))
+
+
+@_register(
+    "version_is_latest",
+    with_fixtures(
+        """SELECT number, version,
+                  (version = max(version) OVER (PARTITION BY number)) AS is_latest
+           FROM versions"""
+    ),
+)
+def q_version_is_latest(spark, sf_dir):
+    from pyspark.sql import Window
+
+    v = fixtures.load_versions(spark, sf_dir)
+    w = Window.partitionBy("number")
+    return v.select(
+        "number", "version", (F.col("version") == F.max("version").over(w)).alias("is_latest")
+    )
+
+
+@_register("entities_json_source", with_fixtures("SELECT * FROM entities"))
+def q_entities_json_source(spark, sf_dir):
+    """S8 (scripts/generate_load_script.py:10-14): JSON parts source —
+    round-trip the entity table through spark.read.json with an explicit
+    schema (schema-on-read, no sniffing)."""
+    import os
+    import tempfile
+
+    from kgforge.schema import ENTITY_SCHEMA
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"kgforge_entities_json_{abs(hash(sf_dir))}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fixtures.load_entities(spark, sf_dir).write.mode("overwrite").json(path)
+    return spark.read.schema(ENTITY_SCHEMA).json(path)

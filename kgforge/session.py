@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("KGFORGE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # Shuffle/spill on tmpfs: the sandbox's disk is shared and slow;
+        # on a real cluster this is NVMe-local shuffle dirs. Falls back
+        # to the default /tmp if tmpfs is absent.
+        .config(
+            "spark.local.dir",
+            os.environ.get("KGFORGE_LOCAL_DIR", "/dev/shm/kgforge-spark")
+            if os.path.isdir("/dev/shm")
+            else "/tmp",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
