@@ -243,6 +243,14 @@ def load_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("int")
             .alias("level"),
             F.col("l_partkey").cast("string").alias("number"),
+            # usage attributes (reference parse_part_usage :1262-1318)
+            F.floor("l_quantity").cast("bigint").alias("quantity"),
+            F.when(F.col("l_linenumber") % 3 == 0, F.lit(None).cast("string"))
+            .otherwise(F.when(F.col("l_linenumber") % 2 == 0, "ea").otherwise("kg"))
+            .alias("uom"),
+            F.concat(F.lit("FN-"), (F.col("l_linenumber") % 10).cast("string")).alias(
+                "find_number"
+            ),
         )
     )
 

@@ -974,3 +974,45 @@ def q_entities_json_source(spark, sf_dir):
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fixtures.load_entities(spark, sf_dir).write.mode("overwrite").json(path)
     return spark.read.schema(ENTITY_SCHEMA).json(path)
+
+
+@_register(
+    "usage_edges",
+    with_fixtures(
+        """SELECT DISTINCT
+             CASE WHEN level = 1 THEN last_l0 WHEN level = 2 THEN last_l1 END AS parent,
+             number AS child, quantity, uom, find_number
+           FROM (
+             SELECT level, number, quantity, uom, find_number,
+               last_value(CASE WHEN level = 0 THEN number END IGNORE NULLS) OVER w AS last_l0,
+               last_value(CASE WHEN level = 1 THEN number END IGNORE NULLS) OVER w AS last_l1
+             FROM hierarchy
+             WINDOW w AS (PARTITION BY group_id ORDER BY row_idx
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+           WHERE level > 0
+             AND (CASE WHEN level = 1 THEN last_l0 WHEN level = 2 THEN last_l1 END) IS NOT NULL"""
+    ),
+)
+def q_usage_edges(spark, sf_dir):
+    rows = fixtures.load_hierarchy(spark, sf_dir)
+    return graph.level_stack_decode_usage(rows).dropDuplicates()
+
+
+@_register(
+    "version_chains3",
+    with_fixtures(
+        """SELECT CAST(a.version AS VARCHAR) || '->' || CAST(a.next_version AS VARCHAR)
+                  || '->' || CAST(b.next_version AS VARCHAR)
+                  || '->' || CAST(c.next_version AS VARCHAR) AS path
+           FROM ev a JOIN ev b ON a.next_version = b.version
+                     JOIN ev c ON b.next_version = c.version""",
+        extra_ctes="""
+ev AS (SELECT number, version,
+              lead(version) OVER (PARTITION BY number ORDER BY version) AS next_version
+       FROM versions QUALIFY next_version IS NOT NULL)""",
+    ),
+)
+def q_version_chains3(spark, sf_dir):
+    ev = graph.evolves_to(fixtures.load_versions(spark, sf_dir))
+    edges = ev.select(F.col("version").alias("src"), F.col("next_version").alias("dst"))
+    return graph.chains(edges, n_hops=3)

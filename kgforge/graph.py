@@ -87,17 +87,21 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     """
     with _constraint_propagation_off(edges.sparkSession):
         closure = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        size = closure.count()
         for _ in range(max_iterations):
             grown = (
                 closure.alias("l")
                 .join(closure.alias("r"), F.col("l.child") == F.col("r.parent"))
                 .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
-                .dropDuplicates()
             )
-            new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(eager=True)
-            if new.isEmpty():
+            # one materialization per round: union+dedup replaces the
+            # separate anti-join/new-delta jobs; convergence = size stable
+            nxt = closure.unionByName(grown).dropDuplicates().localCheckpoint(eager=True)
+            nxt_size = nxt.count()
+            closure = nxt
+            if nxt_size == size:
                 return closure
-            closure = closure.unionByName(new).dropDuplicates().localCheckpoint(eager=True)
+            size = nxt_size
         raise ClosureNotConverged(f"no fixpoint after {max_iterations} doubling rounds")
 
 
@@ -362,6 +366,56 @@ def level_stack_decode_window(rows: DataFrame, max_level: int) -> DataFrame:
         .filter(F.col("parent").isNotNull())
         .select("parent", F.col("number").alias("child"))
     )
+
+
+def level_stack_decode_usage(rows: DataFrame) -> DataFrame:
+    """G1 with usage attributes (reference parse_part_usage
+    :1262-1318): the stack decode, carrying quantity/uom/find_number
+    from the child row onto the emitted edge."""
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row_idx")
+        stack: dict[int, str] = {}
+        out = []
+        for level, number, qty, uom, fn in zip(
+            pdf["level"], pdf["number"], pdf["quantity"], pdf["uom"], pdf["find_number"]
+        ):
+            lvl = int(level)
+            if lvl > 0 and (lvl - 1) in stack:
+                out.append((stack[lvl - 1], number, qty, uom, fn))
+            stack[lvl] = number
+            for deeper in [k for k in stack if k > lvl]:
+                del stack[deeper]
+        return pd.DataFrame(
+            out, columns=["parent", "child", "quantity", "uom", "find_number"]
+        )
+
+    return rows.groupBy("group_id").applyInPandas(
+        decode,
+        schema="parent string, child string, quantity bigint, uom string, find_number string",
+    )
+
+
+def chains(edges: DataFrame, n_hops: int) -> DataFrame:
+    """G8 bounded path enumeration: every path of exactly ``n_hops``
+    edges, returned as an arrow-joined string (reference supersession /
+    dependency chain queries, verify_snowmobile_graph.py:147-198)."""
+    cur = edges.select(
+        F.col("src").alias("head"),
+        F.col("dst").alias("tail"),
+        F.concat_ws("->", F.col("src").cast("string"), F.col("dst").cast("string")).alias("path"),
+    )
+    step = edges.select(F.col("src").alias("tail"), F.col("dst").alias("nxt"))
+    for _ in range(n_hops - 1):
+        cur = (
+            cur.join(step, "tail")
+            .select(
+                "head",
+                F.col("nxt").alias("tail"),
+                F.concat_ws("->", F.col("path"), F.col("nxt").cast("string")).alias("path"),
+            )
+        )
+    return cur.select("path")
 
 
 def level_stack_round_robin(rows: DataFrame) -> DataFrame:

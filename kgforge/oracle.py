@@ -17,6 +17,7 @@ turns_base AS (
          ORDER BY l.l_linenumber, l.l_partkey, l.l_suppkey) - 1 AS INT) AS turn_idx,
     l.l_orderkey,
     l.l_partkey,
+    l.l_linenumber,
     l.l_shipdate AS ts,
     CAST(FLOOR(l.l_quantity) AS BIGINT) AS qty,
     CASE WHEN l.l_partkey % 19 = 3 THEN 'unknown widget ' || CAST(l.l_suppkey AS VARCHAR)
@@ -119,7 +120,11 @@ describe_links AS (
 hierarchy AS (
   SELECT conv_id AS group_id, turn_idx AS row_idx,
          CASE WHEN turn_idx = 0 THEN 0 ELSE 1 + turn_idx % 2 END AS level,
-         CAST(l_partkey AS VARCHAR) AS number
+         CAST(l_partkey AS VARCHAR) AS number,
+         qty AS quantity,
+         CASE WHEN l_linenumber % 3 = 0 THEN NULL
+              WHEN l_linenumber % 2 = 0 THEN 'ea' ELSE 'kg' END AS uom,
+         'FN-' || CAST(l_linenumber % 10 AS VARCHAR) AS find_number
   FROM turns_base
 )
 """
