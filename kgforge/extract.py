@@ -98,14 +98,18 @@ def make_dictionary_detector(names: list[str]):
     return detect
 
 
-def detect_mentions_dictionary(transcripts: DataFrame, entities: DataFrame) -> DataFrame:
+def detect_mentions_dictionary(
+    transcripts: DataFrame, entities: DataFrame, names: list[str] | None = None
+) -> DataFrame:
     """Dictionary mention detection over free text -> exploded mention rows.
 
     The dictionary is collected on the driver (it is the *small* side by
     construction — same assumption the broadcast linking join makes) and
-    shipped once per executor inside the UDF closure.
+    shipped once per executor inside the UDF closure. Pass ``names`` to
+    reuse an already-collected dictionary across calls.
     """
-    names = [r[0] for r in entities.select("name").distinct().collect()]
+    if names is None:
+        names = [r[0] for r in entities.select("name").distinct().collect()]
     detect = make_dictionary_detector(names)
     return (
         transcripts.withColumn("mentions", detect(F.col("text")))

@@ -1016,3 +1016,97 @@ def q_version_chains3(spark, sf_dir):
     ev = graph.evolves_to(fixtures.load_versions(spark, sf_dir))
     edges = ev.select(F.col("version").alias("src"), F.col("next_version").alias("dst"))
     return graph.chains(edges, n_hops=3)
+
+
+@_register(
+    "canonical_equivalence_triples",
+    with_fixtures(
+        """SELECT 'urn:part:' || number AS subj,
+                  'urn:ontology:canonicalEquivalent' AS pred,
+                  'urn:part:' || canonical AS obj,
+                  FALSE AS obj_is_literal
+           FROM (SELECT number, min(number) OVER (PARTITION BY name) AS canonical
+                 FROM entities)
+           WHERE number <> canonical"""
+    ),
+)
+def q_canonical_equivalence_triples(spark, sf_dir):
+    c = canonicalize.assign_canonical_iris(fixtures.load_entities(spark, sf_dir))
+    return (
+        c.filter(F.col("number") != F.col("canonical_number"))
+        .select(
+            F.concat(F.lit("urn:part:"), F.col("number")).alias("subj"),
+            F.lit("urn:ontology:canonicalEquivalent").alias("pred"),
+            F.col("canonical_iri").alias("obj"),
+            F.lit(False).alias("obj_is_literal"),
+        )
+    )
+
+
+@_register(
+    "name_fallback_count",
+    with_linking(
+        """SELECT CAST(sum(CASE WHEN ep.name IS NULL THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN ec.name IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_fallbacks,
+                  count(*) AS n_edges
+           FROM edges x
+           LEFT JOIN entities ep ON ep.number = x.parent
+           LEFT JOIN entities ec ON ec.number = x.child"""
+    ),
+)
+def q_name_fallback_count(spark, sf_dir):
+    """A8 (:1113-1117): edges whose endpoint had no display name and fell
+    back to the raw number in the generated name-BOM."""
+    named = reports.bom_by_name(_edges(spark, sf_dir), fixtures.load_entities(spark, sf_dir))
+    return named.agg(
+        (
+            F.sum((F.col("parent_name") == F.col("parent")).cast("int"))
+            + F.sum((F.col("child_name") == F.col("child")).cast("int"))
+        )
+        .cast("bigint")
+        .alias("n_fallbacks"),
+        F.count("*").alias("n_edges"),
+    )
+
+
+@_register(
+    "strip_iri_ids",
+    with_fixtures(
+        "SELECT DISTINCT replace('urn:part:' || number, 'urn:part:', '') AS part_id"
+        " FROM entities"
+    ),
+)
+def q_strip_iri_ids(spark, sf_dir):
+    """P12 (docs/GRAPHDB_QUERIES.md:34): IRI -> id strip on the query side."""
+    subj = materialize.part_triples(fixtures.load_entities(spark, sf_dir)).select("subj")
+    return subj.select(
+        F.regexp_replace("subj", "^urn:part:", "").alias("part_id")
+    ).dropDuplicates()
+
+
+@_register(
+    "change_part_links",
+    with_fixtures(
+        """SELECT c.change_id, e.number AS part_number
+           FROM changes c JOIN entities e ON c.affected_number = e.number"""
+    ),
+)
+def q_change_part_links(spark, sf_dir):
+    """J10 (helicopter_change_importer.py:348-376): AFFECTS_PART by exact
+    part-number equi-join."""
+    c = fixtures.load_changes(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    return c.join(F.broadcast(e), c.affected_number == e.number).select(
+        "change_id", F.col("number").alias("part_number")
+    )
+
+
+@_register(
+    "parts_by_state",
+    with_fixtures("SELECT state, count(*) AS n FROM entities GROUP BY state"),
+)
+def q_parts_by_state(spark, sf_dir):
+    """A4 (GRAPHDB_QUERIES.md:335-344): group-count by lifecycle state."""
+    return fixtures.load_entities(spark, sf_dir).groupBy("state").agg(
+        F.count("*").alias("n")
+    )

@@ -70,11 +70,20 @@ def link_mentions(
     entities: DataFrame,
     strategy: str = "broadcast",
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    index: DataFrame | None = None,
+    numbers: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve mention rows (conv_id, turn_idx, slot, mention) against the
-    canonical dictionary -> + (status, resolved_number)."""
-    index = build_name_index(entities)
-    numbers = entities.select(F.col("number").alias("known_number")).distinct()
+    canonical dictionary -> + (status, resolved_number).
+
+    ``index``/``numbers`` accept prebuilt (cached) dictionary frames so
+    repeated linking jobs reuse one dictionary build — on a cluster the
+    broadcast is prepared once and shared across the job DAG.
+    """
+    if index is None:
+        index = build_name_index(entities)
+    if numbers is None:
+        numbers = entities.select(F.col("number").alias("known_number")).distinct()
     m = mentions.withColumn("norm_mention", normalize_number_col(F.col("mention")))
 
     if strategy == "broadcast":

@@ -17,7 +17,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kgforge import extract, fixtures, graph, linking, materialize, resume
+from kgforge import canonicalize, extract, fixtures, graph, linking, materialize, resume
 
 
 @dataclass
@@ -61,6 +61,16 @@ def build_graph(
 
     alt = fixtures.load_alternate_links(spark, sf_dir)
     desc = fixtures.load_describe_links(spark, sf_dir)
+    # canonicalization pass (north rule): same-name clusters -> stable
+    # representative; emitted as canonicalEquivalent edges so raw IRIs
+    # stay queryable (reference keys triples by raw number).
+    canon = canonicalize.assign_canonical_iris(entities)
+    canon_triples = canon.filter(F.col("number") != F.col("canonical_number")).select(
+        F.concat(F.lit("urn:part:"), F.col("number")).alias("subj"),
+        F.lit("urn:ontology:canonicalEquivalent").alias("pred"),
+        F.col("canonical_iri").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
     triples = materialize.union_triples(
         materialize.part_triples(entities),
         materialize.bom_triples(edges),
@@ -69,6 +79,7 @@ def build_graph(
         materialize.alternate_triples(alt),
         materialize.describe_triples(desc),
         materialize.document_triples(desc),
+        canon_triples,
     )
     return GraphBuild(transcripts, entities, linked, edges, closure, triples)
 

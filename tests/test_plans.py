@@ -1,0 +1,52 @@
+"""Physical-plan assertions: the optimizations we claim must be visible
+in the executed plan (SURVEY.md §4.3) — broadcast vs salted-shuffle
+linking, predicate pushdown into the parquet scan, and no Python
+crossings in relational stages."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kgforge import extract, fixtures, linking
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_broadcast_linking_uses_broadcast_hash_join(spark, sf_dir):
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    plan = _plan(linking.link_mentions(extract.extract_mentions(t), e, strategy="broadcast"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_salted_linking_uses_shuffle_join_on_salt(spark, sf_dir):
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    plan = _plan(linking.link_mentions(extract.extract_mentions(t), e, strategy="salted"))
+    assert "ShuffledHashJoin" in plan
+    assert "salt" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    q = fixtures.load_entities(spark, sf_dir).filter(F.col("number") == "42")
+    plan = _plan(q)
+    assert "DataFilters: [isnotnull(p_partkey" in plan or "PushedFilters" in plan
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    q = fixtures.load_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
+    plan = _plan(q)
+    # the part-side scan must not read name/brand/type for this projection
+    assert "p_name" not in plan.split("FileScan parquet")[-1].split("ReadSchema")[1][:200]
+
+
+def test_relational_stages_have_no_python_crossings(spark, sf_dir):
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    linked = linking.link_mentions(extract.extract_mentions(t), e)
+    plan = _plan(linked)
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
