@@ -94,7 +94,8 @@ def run_flagship(cores: int) -> dict:
     # on tmpfs) — the timed pipeline then READS A TABLE, exactly like
     # production reading the Iceberg transcripts table; the scan is
     # splittable and the logical plan is a trivial relation.
-    corpus_dir = f"/dev/shm/kgforge-bench-corpus-{REPLICATE}x{TEXT_REPEAT}"
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    corpus_dir = f"/dev/shm/kgforge-bench-corpus-{sf_tag}-{REPLICATE}x{TEXT_REPEAT}"
     import os as _os
 
     if not _os.path.exists(f"{corpus_dir}/_SUCCESS"):
@@ -259,12 +260,23 @@ def main() -> None:
                     env={**os.environ, "SPARK_GRAFT_SF_DIR": SF_DIR},
                     timeout=3000,
                 )
+                if out.returncode != 0 or not out.stdout.strip():
+                    sys.stderr.write(
+                        f"flagship cores={cores} failed (rc={out.returncode}):\n"
+                        + out.stderr[-2000:]
+                        + "\n"
+                    )
+                    continue
                 run = json.loads(out.stdout.strip().splitlines()[-1])
                 scaling["runs"].append(run)
                 key = f"pinned[{cores}]"
                 if key not in best or run["seconds"] < best[key]["seconds"]:
                     best[key] = run
         scaling["best"] = best
+        if "pinned[2]" not in best or "pinned[8]" not in best:
+            result["scaling"] = scaling
+            print(json.dumps(result))
+            return
         t_n = best["pinned[2]"]["seconds"]
         t_4n = best["pinned[8]"]["seconds"]
         scaling["speedup_n_to_4n"] = round(t_n / t_4n, 3)

@@ -1021,9 +1021,9 @@ def q_version_chains3(spark, sf_dir):
 @_register(
     "canonical_equivalence_triples",
     with_fixtures(
-        """SELECT 'urn:part:' || number AS subj,
+        """SELECT 'urn:part:' || replace(replace(number, ' ', '%20'), '#', '%23') AS subj,
                   'urn:ontology:canonicalEquivalent' AS pred,
-                  'urn:part:' || canonical AS obj,
+                  'urn:part:' || replace(replace(canonical, ' ', '%20'), '#', '%23') AS obj,
                   FALSE AS obj_is_literal
            FROM (SELECT number, min(number) OVER (PARTITION BY name) AS canonical
                  FROM entities)
@@ -1032,15 +1032,7 @@ def q_version_chains3(spark, sf_dir):
 )
 def q_canonical_equivalence_triples(spark, sf_dir):
     c = canonicalize.assign_canonical_iris(fixtures.load_entities(spark, sf_dir))
-    return (
-        c.filter(F.col("number") != F.col("canonical_number"))
-        .select(
-            F.concat(F.lit("urn:part:"), F.col("number")).alias("subj"),
-            F.lit("urn:ontology:canonicalEquivalent").alias("pred"),
-            F.col("canonical_iri").alias("obj"),
-            F.lit(False).alias("obj_is_literal"),
-        )
-    )
+    return materialize.canonical_equivalence_triples(c)
 
 
 @_register(

@@ -116,6 +116,19 @@ def document_triples(links: DataFrame) -> DataFrame:
     )
 
 
+def canonical_equivalence_triples(canon: DataFrame) -> DataFrame:
+    """Canonicalization output (north rule): one canonicalEquivalent edge
+    per non-representative entity, linking its IRI to the cluster
+    representative's IRI. ``canon`` = canonicalize.assign_canonical_iris
+    output (has number, canonical_number, canonical_iri)."""
+    return canon.filter(F.col("number") != F.col("canonical_number")).select(
+        _part_iri(F.col("number")).alias("subj"),
+        F.lit(ONT + "canonicalEquivalent").alias("pred"),
+        F.col("canonical_iri").alias("obj"),
+        F.lit(False).alias("obj_is_literal"),
+    )
+
+
 EDGE_LABEL_PREDS = ["hasComponent", "usedIn", "partOfAssembly", "hasAlternate", "describes"]
 
 

@@ -65,12 +65,7 @@ def build_graph(
     # representative; emitted as canonicalEquivalent edges so raw IRIs
     # stay queryable (reference keys triples by raw number).
     canon = canonicalize.assign_canonical_iris(entities)
-    canon_triples = canon.filter(F.col("number") != F.col("canonical_number")).select(
-        F.concat(F.lit("urn:part:"), F.col("number")).alias("subj"),
-        F.lit("urn:ontology:canonicalEquivalent").alias("pred"),
-        F.col("canonical_iri").alias("obj"),
-        F.lit(False).alias("obj_is_literal"),
-    )
+    canon_triples = materialize.canonical_equivalence_triples(canon)
     triples = materialize.union_triples(
         materialize.part_triples(entities),
         materialize.bom_triples(edges),

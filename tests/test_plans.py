@@ -33,14 +33,23 @@ def test_salted_linking_uses_shuffle_join_on_salt(spark, sf_dir):
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
     q = fixtures.load_entities(spark, sf_dir).filter(F.col("number") == "42")
     plan = _plan(q)
-    assert "DataFilters: [isnotnull(p_partkey" in plan or "PushedFilters" in plan
+    # the filter must reach the scan node itself — an empty
+    # 'PushedFilters: []' (present in every parquet scan) doesn't count
+    assert "DataFilters: [isnotnull(p_partkey" in plan or "PushedFilters: [IsNotNull(p_partkey" in plan
 
 
 def test_column_pruning_on_projection(spark, sf_dir):
     q = fixtures.load_transcripts(spark, sf_dir).select("conv_id", "turn_idx")
     plan = _plan(q)
-    # the part-side scan must not read name/brand/type for this projection
-    assert "p_name" not in plan.split("FileScan parquet")[-1].split("ReadSchema")[1][:200]
+    # find the part-side scan explicitly (plan order is not stable) and
+    # assert its ReadSchema pruned the unused name/brand columns
+    part_scans = [
+        chunk for chunk in plan.split("FileScan parquet")[1:] if "part.parquet" in chunk
+    ]
+    assert part_scans, "no part-side scan found in plan"
+    for chunk in part_scans:
+        read_schema = chunk.split("ReadSchema")[1][:200]
+        assert "p_name" not in read_schema and "p_brand" not in read_schema
 
 
 def test_relational_stages_have_no_python_crossings(spark, sf_dir):
