@@ -1102,3 +1102,24 @@ def q_parts_by_state(spark, sf_dir):
     return fixtures.load_entities(spark, sf_dir).groupBy("state").agg(
         F.count("*").alias("n")
     )
+
+
+# ================================================================== SQL surface
+# (the reference's SPARQL corpus as spark.sql over registered views;
+# shares the DataFrame entries' oracles — both paths must agree)
+from kgforge import sql_api
+
+
+@_register("top_assemblies_sql", ORACLES["top_assemblies"])
+def q_top_assemblies_sql(spark, sf_dir):
+    return sql_api.run(spark, sf_dir, sql_api.TOP_ASSEMBLIES_SQL)
+
+
+@_register("multi_use_parts_sql", ORACLES["multi_use_parts"])
+def q_multi_use_parts_sql(spark, sf_dir):
+    return sql_api.run(spark, sf_dir, sql_api.MULTI_USE_SQL)
+
+
+@_register("leaf_parts_sql", ORACLES["leaf_parts"])
+def q_leaf_parts_sql(spark, sf_dir):
+    return sql_api.run(spark, sf_dir, sql_api.LEAF_PARTS_SQL)
