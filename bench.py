@@ -39,7 +39,7 @@ REPLICATE = int(os.environ.get("KGFORGE_BENCH_REPLICATE", "8"))
 # Sandbox fixture turns are ~100 B; real transcript turns are KBs. The
 # flagship pads text to a realistic size so per-byte work (mention
 # detection) dominates, as it does on a production corpus.
-TEXT_REPEAT = int(os.environ.get("KGFORGE_BENCH_TEXT_REPEAT", "5"))
+TEXT_REPEAT = int(os.environ.get("KGFORGE_BENCH_TEXT_REPEAT", "8"))
 
 
 def _sf_from_dir(d: str) -> float:
