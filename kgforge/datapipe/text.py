@@ -47,7 +47,7 @@ def token_count_ws(col: Column) -> Column:
 
 def token_count_regex(col: Column) -> Column:
     """BPE-ish token count: letter runs, digit runs, single symbols."""
-    return F.size(F.expr(f"regexp_extract_all(text, '{TOKEN_REGEX}', 0)"))
+    return F.size(F.regexp_extract_all(col, F.lit(TOKEN_REGEX), F.lit(0)))
 
 
 def _padded(col: Column) -> Column:

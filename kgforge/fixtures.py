@@ -176,7 +176,13 @@ def load_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (/root/reference/src/utils/spreadsheet_loader.py:98) — the *last*
     sheet/row wins; as a window this is row_number desc == 1 (SURVEY §2.7).
     """
+    from kgforge.normalize import truncate_number_col
+
     raw = load_entities_raw(spark, sf_dir)
+    # reference truncates part numbers to 50 chars before keying
+    # (validation.py:222-248) — a no-op on partkey-derived fixtures,
+    # mirrored as left(number, 50) in the oracle CTE.
+    raw = raw.withColumn("number", truncate_number_col(F.col("number")))
     w = Window.partitionBy("number").orderBy(F.desc("sheet_idx"), F.desc("row_idx"))
     return (
         raw.withColumn("rn", F.row_number().over(w))

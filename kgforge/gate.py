@@ -215,10 +215,11 @@ def q_supersedes(spark, sf_dir):
     with_linking(
         """SELECT a.number AS member, b.number AS assembly
            FROM entities a JOIN entities b
-             ON substr(a.number, 1, 3) = substr(b.number, 1, 3)
+             ON starts_with(a.number, substr(b.number, 1, 3))
            WHERE a.number <> b.number
              AND NOT EXISTS (SELECT 1 FROM edges x
-                             WHERE x.child = a.number AND x.parent = b.number)"""
+                             WHERE (x.child = a.number AND x.parent = b.number)
+                                OR (x.parent = a.number AND x.child = b.number))"""
     ),
 )
 def q_part_of_prefix(spark, sf_dir):
@@ -888,7 +889,7 @@ def q_edge_label_triples(spark, sf_dir):
     with_fixtures(
         """SELECT count(*) AS n_rows,
                   CAST(sum(CASE WHEN number IS NOT NULL AND number <> ''
-                       AND NOT regexp_matches(number, '[<>:"|?*]') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_number,
+                       AND NOT regexp_matches(number, '[<>:"|?*\\x00-\\x1f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_number,
                   CAST(sum(CASE WHEN name IS NOT NULL AND name <> ''
                        AND length(name) <= 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid_name
            FROM entities_raw"""
@@ -968,9 +969,10 @@ def q_entities_json_source(spark, sf_dir):
 
     from kgforge.schema import ENTITY_SCHEMA
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"kgforge_entities_json_{abs(hash(sf_dir))}"
-    )
+    # stable cache path: basename of sf_dir (NOT Python hash(), which is
+    # run-unstable under PYTHONHASHSEED)
+    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    path = os.path.join(tempfile.gettempdir(), f"kgforge_entities_json_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fixtures.load_entities(spark, sf_dir).write.mode("overwrite").json(path)
     return spark.read.schema(ENTITY_SCHEMA).json(path)

@@ -64,9 +64,21 @@ class ClosureNotConverged(RuntimeError):
 
 # ------------------------------------------------------------------ closure
 def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
-    """G4: all reachable (ancestor, descendant) pairs — path-doubling
-    fixpoint: R <- R ∪ (R ⋈ R), so covered path lengths double each
-    round and convergence takes ceil(log2(diameter)) iterations.
+    """G4: all reachable (ancestor, descendant) pairs — **delta**
+    path-doubling fixpoint: covered path lengths still double each round
+    (convergence in ceil(log2(diameter)) iterations), but each round
+    joins only the *newly discovered* pairs against the closure instead
+    of closure ⋈ closure.
+
+    Correctness of the delta form: let D_k = pairs whose shortest path
+    length lies in (2^(k-1), 2^k] and C_k = pairs with length <= 2^k.
+    Any shortest path of length L in (2^k, 2^(k+1)] splits at position
+    2^k into a prefix that is itself a shortest path of length 2^k
+    (subpaths of shortest paths are shortest, so the prefix pair is in
+    D_k) and a suffix of length L - 2^k <= 2^k (in C_k). Hence
+    C_(k+1) = C_k ∪ (D_k ∘ C_k) — one |D|x|C| join per round instead of
+    the |C|x|C| join whose pre-dedup intermediate is path-count-sized
+    (the round-1 scale-killer: 63% of suite wall-time).
 
     Semantics match the reference DFS (:980-1024): every (desc, anc)
     with a path of >=1 edge; cycles converge because new pairs are
@@ -75,33 +87,33 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     (A,A)). Pairs are oriented (parent, child) = (ancestor,
     descendant); the partOfAssembly triple emitter flips them.
 
-    Chosen over per-edge semi-naive iteration
-    (:func:`transitive_closure_seminaive`) because long chains make the
-    linear loop driver-round-trip-bound, and an iteration cap there
-    silently truncates deep pairs. 2^24 path length is unreachable in
-    practice; hitting the cap raises instead of truncating.
+    2^24 path length is unreachable in practice; hitting the cap raises
+    instead of silently truncating (a 64-round semi-naive cap once lost
+    the 37 deepest pairs at sf0.1).
 
-    At scale: each iteration is one self-shuffle-join; AQE splits
-    skewed hub keys; localCheckpoint flattens the plan each round so
-    iteration N never replays 1..N-1.
+    At scale: each iteration is one shuffle join of the (shrinking)
+    delta against the closure; AQE splits skewed hub keys;
+    localCheckpoint per delta keeps lineage flat, and the closure is a
+    union of ~log(diameter) checkpointed deltas.
     """
     with _constraint_propagation_off(edges.sparkSession):
-        closure = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
-        size = closure.count()
+        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        closure = base
+        delta = base
         for _ in range(max_iterations):
             grown = (
-                closure.alias("l")
+                delta.alias("l")
                 .join(closure.alias("r"), F.col("l.child") == F.col("r.parent"))
                 .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
+                .dropDuplicates()
             )
-            # one materialization per round: union+dedup replaces the
-            # separate anti-join/new-delta jobs; convergence = size stable
-            nxt = closure.unionByName(grown).dropDuplicates().localCheckpoint(eager=True)
-            nxt_size = nxt.count()
-            closure = nxt
-            if nxt_size == size:
+            new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(
+                eager=True
+            )
+            if new.isEmpty():
                 return closure
-            size = nxt_size
+            closure = closure.unionByName(new)
+            delta = new
         raise ClosureNotConverged(f"no fixpoint after {max_iterations} doubling rounds")
 
 
@@ -142,21 +154,19 @@ def khop_descendants(edges: DataFrame, roots: DataFrame, max_depth: int) -> Data
         F.col("number").alias("root"), F.col("number").alias("node"), F.lit(0).alias("depth")
     )
     out = frontier
-    stack = _constraint_propagation_off(edges.sparkSession)
-    stack.__enter__()
-    for d in range(1, max_depth + 1):
-        frontier = (
-            frontier.alias("f")
-            .join(edges.alias("e"), F.col("f.node") == F.col("e.parent"))
-            .select(F.col("f.root").alias("root"), F.col("e.child").alias("node"), F.lit(d).alias("depth"))
-            .dropDuplicates()
-            .join(out.select("root", "node"), ["root", "node"], "left_anti")
-            .localCheckpoint(eager=True)
-        )
-        if frontier.isEmpty():
-            break
-        out = out.unionByName(frontier)
-    stack.__exit__(None, None, None)
+    with _constraint_propagation_off(edges.sparkSession):
+        for d in range(1, max_depth + 1):
+            frontier = (
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.node") == F.col("e.parent"))
+                .select(F.col("f.root").alias("root"), F.col("e.child").alias("node"), F.lit(d).alias("depth"))
+                .dropDuplicates()
+                .join(out.select("root", "node"), ["root", "node"], "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if frontier.isEmpty():
+                break
+            out = out.unionByName(frontier)
     return out
 
 
@@ -171,46 +181,107 @@ def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFram
     for Zipfian graphs use with AQE skew handling (large-star/small-star
     is the drop-in upgrade at extreme diameters).
     """
-    cpo = _constraint_propagation_off(edges.sparkSession)
-    cpo.__enter__()
-    undirected = (
-        edges.select(F.col("parent").alias("a"), F.col("child").alias("b"))
-        .unionByName(edges.select(F.col("child").alias("a"), F.col("parent").alias("b")))
-        .dropDuplicates()
-        .localCheckpoint(eager=True)
-    )
-    labels = (
-        undirected.select(F.col("a").alias("node"))
-        .dropDuplicates()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iterations):
-        neighbor_min = (
-            undirected.join(labels, undirected.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("component").alias("nmin"))
-        )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
-            )
+    with _constraint_propagation_off(edges.sparkSession):
+        undirected = (
+            edges.select(F.col("parent").alias("a"), F.col("child").alias("b"))
+            .unionByName(edges.select(F.col("child").alias("a"), F.col("parent").alias("b")))
+            .dropDuplicates()
             .localCheckpoint(eager=True)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
+        labels = (
+            undirected.select(F.col("a").alias("node"))
+            .dropDuplicates()
+            .withColumn("component", F.col("node"))
+            .localCheckpoint(eager=True)
         )
-        no_change = changed.isEmpty()
-        labels = updated
-        if no_change:
-            cpo.__exit__(None, None, None)
-            return labels
-    cpo.__exit__(None, None, None)
+        for _ in range(max_iterations):
+            neighbor_min = (
+                undirected.join(labels, undirected.b == labels.node)
+                .groupBy("a")
+                .agg(F.min("component").alias("nmin"))
+            )
+            updated = (
+                labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
+                .select(
+                    "node",
+                    F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "node")
+                .filter(F.col("u.component") != F.col("l.component"))
+            )
+            no_change = changed.isEmpty()
+            labels = updated
+            if no_change:
+                return labels
     raise ClosureNotConverged(f"components not stable after {max_iterations} rounds")
+
+
+def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the diameter-robust upgrade over min-label propagation: label
+    propagation needs O(diameter) rounds, star contraction converges in
+    O(log^2 n) regardless of diameter (a million-node chain closes in
+    ~20 rounds, not a million). Returns (node, component), identical to
+    :func:`connected_components` (pytest-asserted on a long chain).
+
+    large-star: every node points its *larger* neighbors at the minimum
+    of its neighborhood (incl. itself); small-star does the same for
+    smaller-or-equal neighbors. Both are a groupBy + join per round —
+    pure shuffle ops, no driver data.
+    """
+    with _constraint_propagation_off(edges.sparkSession):
+        cur = (
+            edges.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+
+        def _large_star(e: DataFrame) -> DataFrame:
+            sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            m = sym.groupBy("u").agg(F.least(F.min("v"), F.col("u")).alias("m"))
+            return (
+                sym.join(m, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .filter(F.col("u") != F.col("v"))
+                .dropDuplicates()
+            )
+
+        def _small_star(e: DataFrame) -> DataFrame:
+            # orient every edge (big, small); group by the big end
+            oriented = e.select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+            nbrs = oriented.join(m, "u")
+            out = nbrs.select(F.col("v").alias("u"), F.col("m").alias("v")).unionByName(
+                nbrs.select("u", F.col("m").alias("v"))
+            )
+            return out.filter(F.col("u") != F.col("v")).dropDuplicates()
+
+        for _ in range(max_iterations):
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            stable = nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
+            cur = nxt
+            if stable:
+                nodes = (
+                    edges.select(F.col("parent").alias("node"))
+                    .unionByName(edges.select(F.col("child").alias("node")))
+                    .dropDuplicates()
+                )
+                labels = cur.groupBy("u").agg(F.min("v").alias("component")).select(
+                    F.col("u").alias("node"), "component"
+                )
+                return nodes.join(labels, "node", "left").select(
+                    "node", F.coalesce("component", "node").alias("component")
+                )
+    raise ClosureNotConverged(f"star contraction not stable after {max_iterations} rounds")
 
 
 # ------------------------------------------------------------------ leaf/root
@@ -255,18 +326,44 @@ def supersedes(entities: DataFrame) -> DataFrame:
 
 
 def part_of_prefix(entities: DataFrame, edges: DataFrame, prefix_len: int = 3) -> DataFrame:
-    """J6 (:266-282): parts sharing a number prefix, minus pairs already
-    BOM-linked — equi-join on the extracted prefix key (the reference
-    runs this as an unindexed quadratic Cypher scan; SURVEY §4.2)."""
-    a = entities.select(
-        F.col("number").alias("member"), F.substring("number", 1, prefix_len).alias("pfx")
+    """J6 (snowmobile_neo4j_importer.py:266-282): (p1)-[PART_OF]->(p2)
+    when ``p1.number STARTS WITH left(p2.number, 3)``, p1 != p2, and the
+    pair is not BOM-linked **in either direction** (the Cypher's
+    ``NOT (p1)-[:HAS_COMPONENT]-(p2)`` is undirected).
+
+    The startswith condition is *asymmetric*: the key is the assembly's
+    (p2's) prefix — which is p2's whole number when it is shorter than
+    ``prefix_len``. Scale-safe equi-join form: explode each member
+    number into its prefixes of length 1..prefix_len and join them
+    against ``left(assembly_number, prefix_len)`` (<=3 rows per member
+    vs the reference's unindexed quadratic Cypher scan, SURVEY §4.2).
+    """
+    member = entities.select(F.col("number").alias("member"))
+    # one row per (member, prefix of length L), L = 1..min(len, prefix_len)
+    member_pfx = member.select(
+        "member",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.least(F.length("member"), F.lit(prefix_len))),
+                lambda l: F.col("member").substr(F.lit(1), l),
+            )
+        ).alias("pfx"),
     )
-    b = entities.select(
-        F.col("number").alias("assembly"), F.substring("number", 1, prefix_len).alias("pfx")
+    assembly = entities.select(
+        F.col("number").alias("assembly"),
+        F.substring("number", 1, prefix_len).alias("pfx"),
     )
-    pairs = a.join(b, "pfx").filter(F.col("member") != F.col("assembly")).select("member", "assembly")
+    pairs = (
+        member_pfx.join(assembly, "pfx")
+        .filter(F.col("member") != F.col("assembly"))
+        .select("member", "assembly")
+        .dropDuplicates()
+    )
     linked = edges.select(F.col("child").alias("member"), F.col("parent").alias("assembly"))
-    return pairs.join(linked, ["member", "assembly"], "left_anti")
+    linked_undirected = linked.unionByName(
+        edges.select(F.col("parent").alias("member"), F.col("child").alias("assembly"))
+    )
+    return pairs.join(linked_undirected, ["member", "assembly"], "left_anti")
 
 
 def depends_on(changes: DataFrame) -> DataFrame:

@@ -36,8 +36,12 @@ DEFAULT_SALT_BUCKETS = 8
 
 def build_name_index(entities: DataFrame) -> DataFrame:
     """name -> sorted candidate numbers (reference build_name_index
-    :1041-1052 inverted at :1378-1384). sort_array for determinism."""
-    return entities.groupBy("name").agg(
+    :1041-1052 inverted at :1378-1384). The reference indexes
+    ``str(name or number).strip()`` — an entity with an empty/blank name
+    is indexed under its (trimmed) number, which can itself make a
+    number ambiguous. sort_array for determinism."""
+    key = F.trim(F.coalesce(F.nullif(F.col("name"), F.lit("")), F.col("number")))
+    return entities.groupBy(key.alias("name")).agg(
         F.sort_array(F.collect_set("number")).alias("candidates")
     )
 

@@ -81,7 +81,8 @@ entities_raw AS (
 ),
 entities AS (
   SELECT number, name, "type", source, "view", state, revision, container, part_type
-  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY number
+  FROM (SELECT * REPLACE (left(number, 50) AS number),
+               ROW_NUMBER() OVER (PARTITION BY left(number, 50)
               ORDER BY sheet_idx DESC, row_idx DESC) AS rn
         FROM entities_raw)
   WHERE rn = 1
@@ -143,8 +144,11 @@ mentions AS (
   FROM transcripts WHERE regexp_extract(text, 'parent=\[([^\]]+)\]', 1) <> ''
 ),
 name_index AS (
-  SELECT name, list_sort(list(DISTINCT number)) AS candidates
-  FROM entities GROUP BY name
+  -- reference indexes str(name or number).strip(): blank names fall
+  -- back to the (trimmed) number (spreadsheet_loader.py:1041-1052)
+  SELECT trim(coalesce(nullif(name, ''), number)) AS name,
+         list_sort(list(DISTINCT number)) AS candidates
+  FROM entities GROUP BY 1
 ),
 known AS (SELECT DISTINCT number FROM entities),
 linked AS (

@@ -29,11 +29,16 @@ def read_transcript_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def deduped_turns(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
-    """Exactly-once turn stream: watermark on ts + dropDuplicates on the
-    (conv_id, turn_idx) key — late replays of a turn inside the
-    watermark window are dropped, per the stable-turn-ordering
-    invariant."""
-    return stream.withWatermark("ts", watermark).dropDuplicates(["conv_id", "turn_idx"])
+    """Exactly-once turn stream: watermark on ts +
+    ``dropDuplicatesWithinWatermark`` on the (conv_id, turn_idx) key —
+    late replays of a turn inside the watermark window are dropped, per
+    the stable-turn-ordering invariant. WithinWatermark (not plain
+    dropDuplicates) because the event-time column is not part of the
+    key: the plain form would never evict dedup state and grow it
+    unboundedly in continuous mode."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["conv_id", "turn_idx"]
+    )
 
 
 def stream_triples(
