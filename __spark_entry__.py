@@ -18,7 +18,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from kgforge import materialize
     from kgforge.pipeline import build_graph
 
-    build = build_graph(spark, "/root/testdata/sf0.001", closure_edge_mod=20)
+    build = build_graph(spark, "/root/testdata/sf0.001", closure_edge_mod=None)
     return materialize.triple_counts(build.triples)
 
 

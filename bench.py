@@ -74,26 +74,41 @@ def _replicated_transcripts(spark, sf_dir: str, copies: int):
 
 def run_flagship(cores: int) -> dict:
     """Throughput flagship: extract -> dict-detect -> link -> edges ->
-    triples -> render -> stats over the replicated corpus."""
+    triples -> render -> stats over the replicated corpus.
+
+    Round-2 shape: ONE fused action. The detection aggregate, the
+    per-predicate triple counts, and the render byte-count are unioned
+    into a single (key, n) frame and collected once — one Spark job
+    instead of three, so per-job serial driver work (Catalyst analysis,
+    stage scheduling, broadcast exchange setup) is paid once and
+    independent subtrees (Python-UDF detection vs JVM relational chain)
+    fill the pinned cores concurrently. AQE is off for this job: every
+    join is an explicit broadcast and shuffle_partitions == cores, so
+    runtime re-planning only adds driver latency between stages.
+    """
     from pyspark.sql import functions as F
 
     from kgforge import extract, fixtures, linking, materialize
     from kgforge import graph as g
     from kgforge.session import get_spark
 
-    spark = get_spark(f"kgforge-bench-{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        f"kgforge-bench-{cores}",
+        cores=cores,
+        shuffle_partitions=cores,
+        extra_conf={"spark.sql.adaptive.enabled": "false"},
+    )
     # warm: parquet footers + one tiny job so JVM/codegen startup is excluded
     spark.read.parquet(f"{SF_DIR}/part.parquet").count()
     spark.range(1000).select(F.sum("id")).collect()
 
-    # setup (untimed): synthesize + cache the transcript corpus — in
-    # production this is the pre-existing Iceberg table, not pipeline
-    # work — and warm the Python worker pool (trie compile), the
-    # cluster-startup analogue.
-    # setup: materialize the corpus as a real table (multi-file parquet
-    # on tmpfs) — the timed pipeline then READS A TABLE, exactly like
-    # production reading the Iceberg transcripts table; the scan is
-    # splittable and the logical plan is a trivial relation.
+    # setup (untimed): materialize the corpus as a real table
+    # (multi-file parquet on tmpfs) — the timed pipeline then READS A
+    # TABLE, exactly like production reading the Iceberg transcripts
+    # table; the scan is splittable and the logical plan is a trivial
+    # relation. Dictionary prep (collect + index build + worker-pool
+    # warmup) is also setup: on a cluster the compiled dictionary
+    # broadcast is prepared once and reused across the job DAG.
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
     corpus_dir = f"/dev/shm/kgforge-bench-corpus-{sf_tag}-{REPLICATE}x{TEXT_REPEAT}"
     import os as _os
@@ -109,9 +124,6 @@ def run_flagship(cores: int) -> dict:
     n_turns = transcripts.count()
     entities = fixtures.load_entities(spark, SF_DIR).cache()
     entities.count()
-    # dictionary prep (collect + index build + worker-pool warmup) is
-    # setup: on a cluster the compiled dictionary broadcast is prepared
-    # once and reused across the job DAG
     names = [r[0] for r in entities.select("name").distinct().collect()]
     name_index = linking.build_name_index(entities).cache()
     name_index.count()
@@ -122,13 +134,14 @@ def run_flagship(cores: int) -> dict:
     t0 = time.perf_counter()
     mentions = extract.extract_mentions(transcripts)
     detected = extract.detect_mentions_dictionary(transcripts, entities, names=names)
-    n_detected = detected.count()
     linked = linking.link_mentions(
         mentions, entities, strategy="broadcast", index=name_index, numbers=numbers
     )
-    edges = g.bom_edges_from_linked(linked).cache()
+    edges = g.bom_edges_from_linked(linked)
     alt = fixtures.load_alternate_links(spark, SF_DIR)
     desc = fixtures.load_describe_links(spark, SF_DIR)
+    # edges feed two families; identical shuffle subtrees are
+    # deduplicated by ReuseExchange inside the single fused plan.
     triples = materialize.union_triples(
         materialize.part_triples(entities),
         materialize.bom_triples(edges),
@@ -136,19 +149,36 @@ def run_flagship(cores: int) -> dict:
         materialize.alternate_triples(alt),
         materialize.describe_triples(desc),
         materialize.document_triples(desc),
-    ).cache()
-    n_lines = materialize.ntriples_lines(triples).count()
-    counts = materialize.triple_counts(triples).collect()
+    )
+    # ONE action: detection tally + per-pred counts + render byte sum.
+    # sum(length(line)) forces the full N-Triples string assembly (a
+    # bare count would let Catalyst prune the render expression away).
+    fused = (
+        detected.agg(F.count("*").alias("n")).select(
+            F.lit("__detected").alias("key"), F.col("n").cast("long").alias("n")
+        )
+        .unionByName(
+            materialize.ntriples_lines(triples).agg(
+                F.sum(F.length("line")).alias("n")
+            ).select(F.lit("__ntriples_bytes").alias("key"), F.col("n").cast("long").alias("n"))
+        )
+        .unionByName(
+            materialize.triple_counts(triples).select(
+                F.col("pred").alias("key"), F.col("n").cast("long").alias("n")
+            )
+        )
+    )
+    rows = {r["key"]: r["n"] for r in fused.collect()}
     secs = time.perf_counter() - t0
-    triples.unpersist()
-    edges.unpersist()
     entities.unpersist()
+    n_detected = rows.pop("__detected")
+    ntriples_bytes = rows.pop("__ntriples_bytes")
     return {
         "seconds": secs,
         "cores": cores,
-        "triples": int(sum(r["n"] for r in counts)),
-        "ntriples_lines": n_lines,
-        "mentions_detected": n_detected,
+        "triples": int(sum(rows.values())),
+        "ntriples_bytes": int(ntriples_bytes),
+        "mentions_detected": int(n_detected),
         "turns": n_turns,
         "turns_per_sec": round(n_turns / secs, 1),
     }
@@ -211,9 +241,21 @@ def bench_queries() -> dict[str, float]:
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     timed("dedup_exact", lambda: dd.exact_dedup(dd.docs_with_dups(docs)).count())
     timed("dedup_minhash_lsh", lambda: dd.lsh_candidate_pairs(dd.docs_with_dups(docs)).count())
+    timed("dedup_simhash", lambda: dd.simhash_near_dups(dd.docs_with_dups(docs)).count())
     timed(
         "ann_cosine_topk",
         lambda: sim.cosine_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5).count(),
+    )
+    timed(
+        "embedding_near_dups_lsh",
+        lambda: sim.embedding_near_dups(sim.vecs_with_dups(emb), threshold=0.9).count(),
+    )
+
+    from kgforge.datapipe import multimodal as mm
+
+    timed(
+        "multimodal_decode",
+        lambda: mm.decode_features(mm.attach_media(docs)).count(),
     )
 
     edges.unpersist()

@@ -3,21 +3,31 @@ array<float>, label).
 
 - :func:`cosine_topk` — exact brute-force top-k: JVM-side
   ``zip_with``/``aggregate`` dot products (double accumulation, no
-  Python in the loop), ranked per query with a window. The baseline.
-- :func:`lsh_ann_topk` — random-hyperplane LSH bucketing: queries only
-  score candidates sharing a signature bucket (multi-probe over bands).
-  The scale path: at 10^9 vectors the cross product is impossible; the
-  bucket join bounds comparisons. Planes are derived deterministically
-  from md5 so results are reproducible everywhere.
+  Python in the loop). The verification baseline — a deliberate
+  cross join, only ever run on bounded query sets.
+- :func:`lsh_signatures` — random-hyperplane LSH bucketing over
+  **fixed-point quantized** vectors: both the embedding components and
+  the md5-derived plane weights are scaled to integers, so the sign
+  bits are exact integer arithmetic — identical in any engine and
+  immune to float summation-order differences (the DuckDB oracle
+  replays the same planes as inline literals).
+- :func:`lsh_ann_topk` / :func:`embedding_near_dups` — the scale path:
+  candidates come only from bucket collisions (no all-pairs stage);
+  exact cosine re-scoring filters them. At 10^9 vectors the cross
+  product is impossible; the bucket join bounds comparisons.
 """
 
 from __future__ import annotations
 
 import hashlib
-import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+QUANT_SCALE = 1024  # fixed-point scale for engine-exact sign bits
+DEFAULT_PLANES = 16
+DEFAULT_DIM = 64
+DEFAULT_BAND_SIZE = 4
 
 
 def _as_double(col):
@@ -33,7 +43,9 @@ def _norm(a):
 
 
 def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
-    """All (query, candidate) cosine similarities; callers rank/filter."""
+    """All (query, candidate) cosine similarities; callers rank/filter.
+    Deliberately a cross join — the exact-verification arm, never the
+    scale path (use lsh_* for that)."""
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     )
@@ -66,32 +78,51 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
 
 
 # ------------------------------------------------------------------ LSH ANN
-def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
-    """Deterministic pseudo-random unit-free hyperplanes: component
-    (p, d) = md5-derived uniform in [-1, 1). No RNG state, identical on
-    every executor/engine."""
+def hyperplanes_quantized(
+    n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM
+) -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes as fixed-point integers:
+    component (p, d) = md5-derived uniform in [-1, 1) scaled by
+    QUANT_SCALE. No RNG state; identical on every executor AND
+    inlineable as literals into the DuckDB oracle SQL."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
             h = int.from_bytes(hashlib.md5(f"plane:{p}:{d}".encode()).digest()[:8], "big")
-            row.append(h / float(1 << 63) - 1.0)
+            row.append(int((h / float(1 << 63) - 1.0) * QUANT_SCALE))
         planes.append(row)
     return planes
 
 
+def _quantized(col):
+    """floor(x * QUANT_SCALE) as long — the engine-exact embedding form."""
+    return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def _int_dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
 def lsh_signatures(
-    vectors: DataFrame, n_planes: int = 16, dim: int = 64, band_size: int = 4
+    vectors: DataFrame,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = DEFAULT_DIM,
+    band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """Sign-bit signature per vector, split into bands of ``band_size``
-    bits -> (vec_id, band, bucket). Multi-probe: a vector lands in one
-    bucket per band; near vectors collide on >=1 band with high
-    probability. Narrow bands raise recall (more collisions), wide
-    bands raise selectivity — tune per corpus geometry."""
-    planes = _hyperplanes(n_planes, dim)
-    emb = _as_double(F.col("embedding"))
+    bits -> (vec_id, band, bucket). Near vectors collide on >=1 band
+    with high probability; narrow bands raise recall, wide bands raise
+    selectivity. Sign bits are integer dot products of the quantized
+    embedding against quantized planes — exact in every engine."""
+    planes = hyperplanes_quantized(n_planes, dim)
+    emb = _quantized(F.col("embedding"))
     bits = [
-        (_dot(emb, F.array(*[F.lit(w) for w in plane])) > 0).cast("int").alias(f"b{i}")
+        (_int_dot(emb, F.array(*[F.lit(w).cast("long") for w in plane])) > 0)
+        .cast("int")
+        .alias(f"b{i}")
         for i, plane in enumerate(planes)
     ]
     sig = vectors.select("vec_id", *bits)
@@ -101,9 +132,7 @@ def lsh_signatures(
         cols = [F.col(f"b{i}") for i in range(band * band_size, (band + 1) * band_size)]
         bucket = F.concat_ws("", *[c.cast("string") for c in cols])
         bands.append(
-            sig.select(
-                "vec_id", F.lit(band).alias("band"), bucket.alias("bucket")
-            )
+            sig.select("vec_id", F.lit(band).alias("band"), bucket.alias("bucket"))
         )
     out = bands[0]
     for b in bands[1:]:
@@ -111,13 +140,44 @@ def lsh_signatures(
     return out
 
 
+def vecs_with_dups(vectors: DataFrame) -> DataFrame:
+    """Duplicate-injected embedding corpus (the sandbox embeddings are
+    random, i.e. no true near-dups — the worst case for any LSH): every
+    10th vector is replayed under vec_id + 1,000,000. Deterministic,
+    mirrored in the DuckDB oracle; the dedup analogue of
+    dedup.docs_with_dups."""
+    clones = vectors.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    return vectors.unionByName(clones)
+
+
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = DEFAULT_DIM,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs colliding on >=1 LSH band — the
+    pair generator that replaces the all-pairs cross join at scale."""
+    sigs = lsh_signatures(vectors, n_planes, dim, band_size)
+    a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
+    b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_planes: int = 16,
-    dim: int = 64,
-    band_size: int = 4,
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = DEFAULT_DIM,
+    band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """Approximate top-k: score only bucket-colliding candidates."""
     qs = lsh_signatures(queries, n_planes, dim, band_size).withColumnRenamed("vec_id", "query_id")
@@ -152,11 +212,80 @@ def lsh_ann_topk(
 
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b) — the
-    vector-space analogue of MinHash dedup; exact over the cross
-    product here, LSH-bucketed (lsh_signatures) at scale."""
+    vector-space analogue of MinHash dedup. **LSH-bucketed by default**
+    (round-2 fix): candidates come from band collisions, the exact
+    cosine is only computed on collided pairs — no CartesianProduct in
+    the plan (plan-asserted in tests). Recall vs the brute-force arm is
+    pinned >=0.95 in pytest; :func:`embedding_near_dups_exact` remains
+    the oracle/verification arm."""
+    cand = lsh_candidate_pairs(vectors)
+    v = vectors.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    a = v.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("cosine", sim)
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
+        )
+    )
+
+
+def embedding_near_dups_exact(vectors: DataFrame, threshold: float = 0.999) -> DataFrame:
+    """Brute-force near-dup pairs — the exact arm used to verify LSH
+    recall at small scale (a cross join; never the production path)."""
     pairs = cosine_pairs(vectors, vectors).filter(F.col("query_id") < F.col("neighbor_id"))
     return pairs.filter(F.col("cosine") >= threshold).select(
         F.col("query_id").alias("doc_a"),
         F.col("neighbor_id").alias("doc_b"),
         F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
     )
+
+
+# ------------------------------------------------------------------ oracle SQL
+def planes_sql_literal(n_planes: int = DEFAULT_PLANES, dim: int = DEFAULT_DIM) -> str:
+    """The quantized planes as a DuckDB list-of-lists literal, so the
+    oracle replays the exact same bucketing."""
+    planes = hyperplanes_quantized(n_planes, dim)
+    return "[" + ",".join("[" + ",".join(str(w) for w in p) + "]" for p in planes) + "]"
+
+
+def lsh_sigs_cte(
+    source: str = "embeddings",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = DEFAULT_DIM,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> str:
+    """DuckDB CTE text computing (vec_id, band, bucket) identically to
+    :func:`lsh_signatures`: integer dot products of floor(x*SCALE)
+    against the inlined plane literals."""
+    n_bands = max(1, n_planes // band_size)
+    bit = (
+        "CASE WHEN list_sum(list_transform(generate_series(1, {dim}),"
+        " d -> q[d] * pl[{p}][d])) > 0 THEN '1' ELSE '0' END"
+    )
+    band_rows = []
+    for band in range(n_bands):
+        bits = "||".join(
+            bit.format(dim=dim, p=i + 1)
+            for i in range(band * band_size, (band + 1) * band_size)
+        )
+        band_rows.append(
+            f"SELECT vec_id, {band} AS band, {bits} AS bucket FROM qv"
+        )
+    union = "\nUNION ALL\n".join(band_rows)
+    return f"""
+qv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q,
+         {planes_sql_literal(n_planes, dim)} AS pl
+  FROM {source}
+),
+lsh_sigs AS (
+{union}
+)"""

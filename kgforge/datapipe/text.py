@@ -107,23 +107,29 @@ def fingerprint_col(col: Column) -> Column:
     return F.md5(F.trim(normalized))
 
 
-def rolling_fingerprints(texts: pd.Series, window: int = 4) -> pd.Series:
-    """Winnowing-style rolling-hash fingerprint (pure pandas; wrapped as
-    a UDF below): hash every ``window``-gram of tokens, keep the minimum
-    per sliding window of hashes — robust to small local edits."""
+WINNOW_K = 4  # tokens per k-gram
+WINNOW_W = 4  # k-gram hashes per winnowing window
+
+
+def rolling_fingerprints(texts: pd.Series, k: int = WINNOW_K, w: int = WINNOW_W) -> pd.Series:
+    """Winnowing fingerprint (Schleimer et al. MOSS scheme): hash every
+    ``k``-gram of tokens, keep the minimum hash per sliding window of
+    ``w`` hashes, fingerprint = md5 of the sorted distinct minima —
+    robust to small local edits. Hashes are md5 hex strings compared
+    lexicographically, so the whole computation is engine-portable (the
+    DuckDB oracle replays it with window functions). Pure pandas;
+    wrapped as an Arrow-batched UDF below."""
 
     def fp(t: str) -> str:
         toks = (t or "").lower().split()
-        if len(toks) < window:
+        if len(toks) < k:
             return hashlib.md5(" ".join(toks).encode()).hexdigest()
-        hashes = [
-            int.from_bytes(
-                hashlib.md5(" ".join(toks[i : i + window]).encode()).digest()[:8], "big"
-            )
-            for i in range(len(toks) - window + 1)
+        grams = [
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()
+            for i in range(len(toks) - k + 1)
         ]
-        selected = sorted({min(hashes[i : i + window]) for i in range(max(1, len(hashes) - window + 1))})
-        return hashlib.md5(",".join(map(str, selected)).encode()).hexdigest()
+        selected = sorted({min(grams[i : i + w]) for i in range(max(1, len(grams) - w + 1))})
+        return hashlib.md5("|".join(selected).encode()).hexdigest()
 
     return texts.map(fp)
 

@@ -78,28 +78,64 @@ def _trie_regex(words: list[str]) -> str:
     return pat(trie)
 
 
-def make_dictionary_detector(names: list[str]):
+def make_dictionary_detector(names: list[str], overlapping: bool = False):
     """Build a vectorized detector closed over the canonical-name list.
 
     The dictionary is compiled once per executor into a trie regex (see
     :func:`_trie_regex`); matching is a single forward scan per text.
     For 10^7+ dictionaries swap in a true Aho-Corasick automaton behind
     the same signature.
+
+    ``overlapping=True`` wraps the trie in a zero-width lookahead
+    ``(?=(trie))`` so a match is reported at *every* starting position
+    (matches may overlap) — containment semantics, the Aho-Corasick
+    behavior. On a substring-free dictionary (no name contained in
+    another; see :func:`substring_free_names`) the distinct overlapping
+    matches equal exactly the set of dictionary names contained in the
+    text, which is what the DuckDB oracle checks.
     """
     ordered = sorted(set(n for n in names if n))
-    pattern = re.compile(_trie_regex(ordered)) if ordered else None
+    if not ordered:
+        pattern = None
+    elif overlapping:
+        pattern = re.compile("(?=(" + _trie_regex(ordered) + "))")
+    else:
+        pattern = re.compile(_trie_regex(ordered))
 
     @pandas_udf("array<string>")
     def detect(texts: pd.Series) -> pd.Series:
         if pattern is None:
             return pd.Series([[] for _ in texts])
+        if overlapping:
+            return texts.map(
+                lambda t: [m for m in pattern.findall(t) if m] if t else []
+            )
         return texts.map(lambda t: pattern.findall(t) if t else [])
 
     return detect
 
 
+def substring_free_names(entities: DataFrame) -> DataFrame:
+    """Dictionary names with no *other* dictionary name contained in
+    them — the precondition under which overlapping trie detection
+    equals containment detection (and under which the DuckDB oracle is
+    expressible). The filter itself is a contains-theta anti-join; it
+    runs once at dictionary-build time, never on the corpus."""
+    names = entities.select("name").dropDuplicates()
+    other = names.select(F.col("name").alias("inner_name"))
+    return names.join(
+        other,
+        (F.col("name") != F.col("inner_name"))
+        & F.col("name").contains(F.col("inner_name")),
+        "left_anti",
+    )
+
+
 def detect_mentions_dictionary(
-    transcripts: DataFrame, entities: DataFrame, names: list[str] | None = None
+    transcripts: DataFrame,
+    entities: DataFrame,
+    names: list[str] | None = None,
+    overlapping: bool = False,
 ) -> DataFrame:
     """Dictionary mention detection over free text -> exploded mention rows.
 
@@ -110,7 +146,7 @@ def detect_mentions_dictionary(
     """
     if names is None:
         names = [r[0] for r in entities.select("name").distinct().collect()]
-    detect = make_dictionary_detector(names)
+    detect = make_dictionary_detector(names, overlapping=overlapping)
     return (
         transcripts.withColumn("mentions", detect(F.col("text")))
         .select(

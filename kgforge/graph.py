@@ -17,19 +17,46 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 
+def _fixpoint_partitions(spark, n_rows: int, rows_per_partition: int = 10_000) -> int:
+    """Shuffle-partition count for a fixpoint loop, derived from the
+    input size: each round is a small shuffle, so at fixture scale the
+    session's corpus-sized setting (e.g. 32) pays more task-scheduling
+    overhead than compute (measured 2x closure wall time at sf0.1).
+    Never exceeds the session conf (the cluster-parallelism proxy), so
+    at 100x input the loop still fans out fully."""
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(configured, n_rows // rows_per_partition + 1))
+
+
 @contextmanager
-def _constraint_propagation_off(spark):
-    """Catalyst's Union constraint rewrite hits a NoSuchElementException
-    (key not found: attr) when unioning localCheckpoint'ed plans with
-    reused attribute ids (observed on Spark 4.1); constraint propagation
-    buys nothing inside a fixpoint loop, so turn it off for the loop."""
-    key = "spark.sql.constraintPropagation.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
+def _constraint_propagation_off(spark, shuffle_partitions: int | None = None):
+    """Loop-scoped planner confs for driver-side fixpoint iterations.
+
+    - constraintPropagation off: Catalyst's Union constraint rewrite
+      hits a NoSuchElementException (key not found: attr) when unioning
+      localCheckpoint'ed plans with reused attribute ids (observed on
+      Spark 4.1), and constraint propagation buys nothing inside a
+      fixpoint loop.
+    - AQE off: every round is a fresh small plan over already-known
+      sizes; adaptive re-optimization between the per-round stages is
+      pure driver latency (measured ~20-30% of closure wall time at
+      sf0.1) with nothing to re-plan — joins are explicit and
+      shuffle_partitions already matches the parallelism.
+    """
+    keys = {
+        "spark.sql.constraintPropagation.enabled": "false",
+        "spark.sql.adaptive.enabled": "false",
+    }
+    if shuffle_partitions is not None:
+        keys["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    prev = {k: spark.conf.get(k, "true") for k in keys}
+    for k, v in keys.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        for k, v in prev.items():
+            spark.conf.set(k, v)
 
 
 # ------------------------------------------------------------------ edges
@@ -96,8 +123,12 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     localCheckpoint per delta keeps lineage flat, and the closure is a
     union of ~log(diameter) checkpointed deltas.
     """
-    with _constraint_propagation_off(edges.sparkSession):
-        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+    # closure cardinality runs ~an order of magnitude past the edge
+    # count on BOM-like graphs; size the loop's shuffles for that
+    parts = _fixpoint_partitions(spark, base.count() * 8)
+    with _constraint_propagation_off(spark, parts):
         closure = base
         delta = base
         for _ in range(max_iterations):
@@ -124,8 +155,10 @@ def transitive_closure_seminaive(edges: DataFrame, max_iterations: int = 512) ->
     on long chains. Raises rather than silently truncating at the cap
     — with the default 64-round cap this variant dropped the 37
     deepest pairs of the sf0.1 fixture graph (diameter > 64)."""
-    with _constraint_propagation_off(edges.sparkSession):
-        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+    parts = _fixpoint_partitions(spark, base.count() * 8)
+    with _constraint_propagation_off(spark, parts):
         closure = base
         frontier = base
         for i in range(max_iterations):

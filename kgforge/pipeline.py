@@ -52,12 +52,18 @@ def build_graph(
     # exchange-reuse: all triple families derive from the same edges).
     edges = graph.bom_edges_from_linked(linked).cache()
 
-    closure_input = edges
     if closure_edge_mod:
+        # sampled subgraph: long chains, low density -> delta doubling
+        # (log(diameter) rounds)
         closure_input = edges.filter(
             (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % closure_edge_mod == 0
         )
-    closure = graph.transitive_closure(closure_input)
+        closure = graph.transitive_closure(closure_input)
+    else:
+        # full fixture graph is dense (short diameter, huge closure):
+        # semi-naive's |delta| x degree rounds beat doubling's
+        # |delta| x |closure| joins
+        closure = graph.transitive_closure_seminaive(edges)
 
     alt = fixtures.load_alternate_links(spark, sf_dir)
     desc = fixtures.load_describe_links(spark, sf_dir)
@@ -84,7 +90,7 @@ def run_pipeline(
     sf_dir: str,
     out_dir: str | None = None,
     strategy: str = "broadcast",
-    closure_edge_mod: int | None = 20,
+    closure_edge_mod: int | None = None,
     write_ntriples: bool = False,
     fail_after_commits: int | None = None,
 ) -> dict:

@@ -66,6 +66,58 @@ def test_lsh_ann_recall_vs_bruteforce(spark, sf_dir):
     assert recall > 0.05, f"recall collapsed: {recall}"
 
 
+def test_multimodal_real_codecs_roundtrip():
+    """Encode -> decode round-trip against the generator formulas, no
+    Spark needed: real PNG (zlib inflate + unfilter), WAV (RIFF chunk
+    walk), Y4M (header parse + frame sampling)."""
+    for mid in range(30):
+        mime = ["image/png", "audio/wav", "video/y4m"][mid % 3]
+        payload = mm._encode_payload(mid, mime)
+        feats = mm._DECODERS[mime](payload)
+        if mime == "image/png":
+            w, h = mm.PNG_W(mid), mm.PNG_H(mid)
+            assert (feats["width"], feats["height"]) == (w, h)
+            want = sum(mm.png_pixel(mid, x, y) for x in range(w) for y in range(h))
+            assert feats["mean_value_e3"] == want * 1000 // (w * h)
+        elif mime == "audio/wav":
+            n = mm.WAV_N(mid)
+            assert feats["n_frames"] == n
+            assert feats["sample_rate"] == mm.WAV_RATE(mid)
+            want = sum(abs(mm.wav_sample(mid, i)) for i in range(n))
+            assert feats["mean_value_e3"] == want * 1000 // n
+        else:
+            w, h, nf = mm.Y4M_W(mid), mm.Y4M_H(mid), mm.Y4M_FRAMES(mid)
+            sampled = list(range(nf))[::2]
+            assert feats["n_frames"] == len(sampled)
+            want = sum(
+                mm.y4m_luma(mid, f, x, y)
+                for f in sampled for y in range(h) for x in range(w)
+            )
+            assert feats["mean_value_e3"] == want * 1000 // (w * h * len(sampled))
+
+
+def test_png_unfilter_sub_and_up():
+    """The decoder reverses Sub/Up scanline filters, not just None."""
+    import struct
+    import zlib
+
+    w, h = 4, 2
+    rows = [[10, 20, 30, 40], [15, 25, 35, 45]]
+    # filter 1 (Sub) on row 0, filter 2 (Up) on row 1
+    sub = bytes([1, 10, 10, 10, 10])
+    up = bytes([2] + [(rows[1][i] - rows[0][i]) % 256 for i in range(w)])
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zlib.compress(sub + up))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    feats = mm.decode_png(payload)
+    flat = [p for row in rows for p in row]
+    assert feats["mean_value_e3"] == sum(flat) * 1000 // (w * h)
+
+
 def test_multimodal_decode_plumbing(spark, sf_dir):
     media = mm.attach_media(_docs(spark, sf_dir).limit(40))
     feats = mm.decode_features(media)
@@ -76,14 +128,27 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
         payload = bytes(src[mid].payload)
         assert r.n_bytes == len(payload)
         assert r.sha256 == hashlib.sha256(payload).hexdigest()
-        assert r.feat_width == src[mid].width // 2
-        if src[mid].mime == "video/mp4":
-            assert 1 <= r.n_frames <= 4
-        else:
-            assert r.n_frames is None
     assert [f.name for f in feats.schema.fields] == [
-        "media_id", "n_bytes", "sha256", "feat_width", "feat_height", "n_frames",
+        "media_id", "mime", "n_bytes", "width", "height",
+        "n_frames", "sample_rate", "mean_value_e3", "sha256",
     ]
+
+
+def test_embedding_near_dups_lsh_recall_and_plan(spark, sf_dir):
+    """The default near-dup path must (a) contain no CartesianProduct
+    in its physical plan and (b) keep recall >= 0.95 vs the brute-force
+    arm at a threshold where real pairs exist."""
+    emb = sim.vecs_with_dups(_emb(spark, sf_dir))
+    approx_df = sim.embedding_near_dups(emb, threshold=0.9)
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    exact = {(r.doc_a, r.doc_b) for r in sim.embedding_near_dups_exact(emb, 0.9).collect()}
+    approx = {(r.doc_a, r.doc_b) for r in approx_df.collect()}
+    assert approx <= exact  # LSH candidates re-scored exactly: no false positives
+    assert exact, "duplicate-injected corpus must contain true near-dups"
+    assert len(approx & exact) / len(exact) >= 0.95, (
+        f"LSH near-dup recall {len(approx & exact) / len(exact)} < 0.95"
+    )
 
 
 def test_rolling_fingerprint_stable_under_small_edit(spark):

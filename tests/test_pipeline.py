@@ -88,6 +88,52 @@ def test_connected_components_vs_union_find(spark, sf_dir):
     assert got == want
 
 
+def test_cc_star_matches_label_propagation_on_long_chain(spark):
+    """large-star/small-star must agree with min-label propagation on a
+    200-node chain — the diameter case star contraction exists for
+    (label propagation needs O(diameter) rounds; star contraction
+    O(log^2 n))."""
+    chain = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i + 1:04d}") for i in range(199)]
+        + [("z1", "z2"), ("z2", "z3")],  # second small component
+        "parent string, child string",
+    )
+    star = {r.node: r.component for r in graph.connected_components_star(chain).collect()}
+    prop = {r.node: r.component for r in graph.connected_components(chain, max_iterations=256).collect()}
+    assert star == prop
+    assert star["n0150"] == "n0000" and star["z3"] == "z1"
+
+
+def test_closure_variants_agree_with_python_dfs(spark):
+    """Delta path-doubling and semi-naive closures must both equal a
+    pure-Python DFS on a graph with a cycle, a diamond, and a chain
+    (reference cycle-guard semantics, spreadsheet_loader.py:1002-1005)."""
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),        # cycle
+        ("d", "e"), ("d", "f"), ("e", "g"), ("f", "g"),  # diamond
+        ("h", "i"), ("i", "j"), ("j", "k"),        # chain
+        ("g", "h"),
+    ]
+    adj: dict[str, list[str]] = {}
+    for p, c in edges:
+        adj.setdefault(p, []).append(c)
+    want = set()
+    for start in {p for p, _ in edges} | {c for _, c in edges}:
+        stack, seen = list(adj.get(start, [])), set()
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            want.add((start, n))
+            stack.extend(adj.get(n, []))
+    df = spark.createDataFrame(edges, "parent string, child string")
+    doubling = {(r.parent, r.child) for r in graph.transitive_closure(df).collect()}
+    seminaive = {(r.parent, r.child) for r in graph.transitive_closure_seminaive(df).collect()}
+    assert doubling == want
+    assert seminaive == want
+
+
 def test_resume_kill_and_rerun(spark, sf_dir, tmp_path):
     """Crash after the first commit group, re-run, assert no duplicate or
     missing triples (idempotent MERGE analogue, SURVEY §5 item 5)."""
