@@ -31,18 +31,25 @@ def extract_mentions(transcripts: DataFrame) -> DataFrame:
     """One row per (turn, slot) mention. Slots: 'ref' (the turn's own
     subject mention) and 'parent' (the enclosing-assembly mention) —
     the transcript analogue of the reference's name-BOM columns
-    (parse_bom_csv_by_name, spreadsheet_loader.py:254-294)."""
-    slots = []
-    for slot, pat in (("ref", REF_PATTERN), ("parent", PARENT_PATTERN)):
-        slots.append(
-            transcripts.select(
-                "conv_id",
-                "turn_idx",
+    (parse_bom_csv_by_name, spreadsheet_loader.py:254-294).
+
+    Single scan + explode (not one scan per slot unioned): at 100 TB
+    the corpus is read once, and the plan is one codegen stage instead
+    of two scans and a union."""
+    slots = F.array(
+        *[
+            F.struct(
                 F.lit(slot).alias("slot"),
                 F.regexp_extract("text", pat, 1).alias("mention"),
-            ).filter(F.col("mention") != "")
-        )
-    return reduce(DataFrame.unionByName, slots)
+            )
+            for slot, pat in (("ref", REF_PATTERN), ("parent", PARENT_PATTERN))
+        ]
+    )
+    return (
+        transcripts.select("conv_id", "turn_idx", F.explode(slots).alias("s"))
+        .select("conv_id", "turn_idx", "s.slot", "s.mention")
+        .filter(F.col("mention") != "")
+    )
 
 
 _TRIE_END = ""
@@ -78,13 +85,39 @@ def _trie_regex(words: list[str]) -> str:
     return pat(trie)
 
 
-def make_dictionary_detector(names: list[str], overlapping: bool = False):
-    """Build a vectorized detector closed over the canonical-name list.
+def compile_dictionary_pattern(names: list[str], overlapping: bool = False):
+    """Compile a name list into the trie-regex automaton (see
+    :func:`_trie_regex`). Returns None for an empty dictionary."""
+    ordered = sorted(set(n for n in names if n))
+    if not ordered:
+        return None
+    if overlapping:
+        return re.compile("(?=(" + _trie_regex(ordered) + "))")
+    return re.compile(_trie_regex(ordered))
 
-    The dictionary is compiled once per executor into a trie regex (see
-    :func:`_trie_regex`); matching is a single forward scan per text.
-    For 10^7+ dictionaries swap in a true Aho-Corasick automaton behind
-    the same signature.
+
+# Executor-local automaton cache: the compiled trie is rebuilt at most
+# once per (broadcast id, mode) per Python worker process, regardless of
+# how many Arrow batches it sees.
+_DETECTOR_CACHE: dict = {}
+
+
+def make_dictionary_detector(names=None, overlapping: bool = False, broadcast=None):
+    """Build a vectorized detector over the canonical-name dictionary.
+
+    Dictionary shipping, by scale:
+
+    - ``names`` (list): the word list rides the serialized UDF closure —
+      fine for small dictionaries, but re-shipped with every task.
+    - ``broadcast`` (``sc.broadcast(names)`` handle): the list crosses
+      the wire once per executor via Spark's broadcast machinery (the
+      10^7-name path); each Python worker compiles the automaton once
+      and caches it process-wide (_DETECTOR_CACHE).
+
+    The automaton is a prefix-trie regex — shared prefixes walked like
+    an Aho-Corasick goto function using only the stdlib engine; a true
+    A-C automaton (e.g. pyahocorasick, not in this container) drops in
+    behind :func:`compile_dictionary_pattern` without touching callers.
 
     ``overlapping=True`` wraps the trie in a zero-width lookahead
     ``(?=(trie))`` so a match is reported at *every* starting position
@@ -94,25 +127,41 @@ def make_dictionary_detector(names: list[str], overlapping: bool = False):
     matches equal exactly the set of dictionary names contained in the
     text, which is what the DuckDB oracle checks.
     """
-    ordered = sorted(set(n for n in names if n))
-    if not ordered:
-        pattern = None
-    elif overlapping:
-        pattern = re.compile("(?=(" + _trie_regex(ordered) + "))")
-    else:
-        pattern = re.compile(_trie_regex(ordered))
+    if (names is None) == (broadcast is None):
+        raise ValueError("pass exactly one of names / broadcast")
+
+    if broadcast is not None:
+
+        @pandas_udf("array<string>")
+        def detect(texts: pd.Series) -> pd.Series:
+            # pyspark's worker-side broadcast registry caches .value per
+            # Python worker process, so its identity is a stable
+            # process-local key for the compiled automaton
+            names_val = broadcast.value
+            bc_key = (id(names_val), overlapping)
+            pattern = _DETECTOR_CACHE.get(bc_key)
+            if pattern is None:
+                pattern = compile_dictionary_pattern(names_val, overlapping)
+                _DETECTOR_CACHE[bc_key] = pattern
+            return _scan(texts, pattern, overlapping)
+
+        return detect
+
+    pattern = compile_dictionary_pattern(names, overlapping)
 
     @pandas_udf("array<string>")
-    def detect(texts: pd.Series) -> pd.Series:
-        if pattern is None:
-            return pd.Series([[] for _ in texts])
-        if overlapping:
-            return texts.map(
-                lambda t: [m for m in pattern.findall(t) if m] if t else []
-            )
-        return texts.map(lambda t: pattern.findall(t) if t else [])
+    def detect_closure(texts: pd.Series) -> pd.Series:
+        return _scan(texts, pattern, overlapping)
 
-    return detect
+    return detect_closure
+
+
+def _scan(texts: pd.Series, pattern, overlapping: bool) -> pd.Series:
+    if pattern is None:
+        return pd.Series([[] for _ in texts])
+    if overlapping:
+        return texts.map(lambda t: [m for m in pattern.findall(t) if m] if t else [])
+    return texts.map(lambda t: pattern.findall(t) if t else [])
 
 
 def substring_free_names(entities: DataFrame) -> DataFrame:
@@ -136,17 +185,24 @@ def detect_mentions_dictionary(
     entities: DataFrame,
     names: list[str] | None = None,
     overlapping: bool = False,
+    use_broadcast: bool = False,
 ) -> DataFrame:
     """Dictionary mention detection over free text -> exploded mention rows.
 
     The dictionary is collected on the driver (it is the *small* side by
-    construction — same assumption the broadcast linking join makes) and
-    shipped once per executor inside the UDF closure. Pass ``names`` to
-    reuse an already-collected dictionary across calls.
+    construction — same assumption the broadcast linking join makes).
+    Pass ``names`` to reuse an already-collected dictionary across
+    calls; ``use_broadcast=True`` ships it as a Spark broadcast variable
+    (once per executor) instead of inside each task's UDF closure — the
+    large-dictionary path.
     """
     if names is None:
         names = [r[0] for r in entities.select("name").distinct().collect()]
-    detect = make_dictionary_detector(names, overlapping=overlapping)
+    if use_broadcast:
+        bc = transcripts.sparkSession.sparkContext.broadcast(names)
+        detect = make_dictionary_detector(broadcast=bc, overlapping=overlapping)
+    else:
+        detect = make_dictionary_detector(names=names, overlapping=overlapping)
     return (
         transcripts.withColumn("mentions", detect(F.col("text")))
         .select(

@@ -202,6 +202,21 @@ def load_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def load_doc_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DocumentVersion temporal rows (reference
+    scripts/import_temporal_history.py:92-136 builds DocumentVersion
+    nodes with the same chain logic as PartVersion): versions grouped
+    under 'DOC-'-prefixed numbers so the namespace never collides with
+    part versions."""
+    orders = _read(spark, sf_dir, "orders")
+    return orders.select(
+        F.concat(F.lit("DOC-"), (F.col("o_custkey") % 997).cast("string")).alias("number"),
+        F.col("o_orderkey").alias("version"),
+        F.col("o_orderstatus").alias("state"),
+        F.col("o_orderdate").alias("created_ts"),
+    )
+
+
 def load_alternate_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alternate/replacement links (reference parse_alternate_links :296-340)."""
     part = _read(spark, sf_dir, "part")

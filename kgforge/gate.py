@@ -298,13 +298,17 @@ def q_related_to(spark, sf_dir):
                   CAST(epoch(CAST(strftime(created_ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP)) AS BIGINT) AS parsed_epoch,
                   (version = max(version) OVER (PARTITION BY number)) AS is_latest,
                   lead(version) OVER (PARTITION BY number ORDER BY version) AS next_version
-           FROM versions"""
+           FROM all_versions"""
     ),
 )
 def q_version_ops(spark, sf_dir):
     """P13 ISO-date parse, temporal is_latest flag, and J9 EVOLVES_TO
-    next-version (lead) over one pass of the versions table."""
-    v = fixtures.load_versions(spark, sf_dir)
+    next-version (lead) over one pass of the version rows — PartVersion
+    AND DocumentVersion chains (import_temporal_history.py:92-136
+    builds both node families with the same logic)."""
+    v = fixtures.load_versions(spark, sf_dir).unionByName(
+        fixtures.load_doc_versions(spark, sf_dir)
+    )
     wp = Window.partitionBy("number")
     wo = Window.partitionBy("number").orderBy("version")
     iso = F.date_format("created_ts", "yyyy-MM-dd HH:mm:ss")

@@ -94,6 +94,16 @@ versions AS (
          o_orderdate AS created_ts
   FROM orders
 ),
+doc_versions AS (
+  SELECT 'DOC-' || CAST(o_custkey % 997 AS VARCHAR) AS number,
+         o_orderkey AS version,
+         o_orderstatus AS state,
+         o_orderdate AS created_ts
+  FROM orders
+),
+all_versions AS (
+  SELECT * FROM versions UNION ALL SELECT * FROM doc_versions
+),
 changes AS (
   SELECT 'CH-' || CAST(event_id AS VARCHAR) AS change_id,
          event_type AS change_type,

@@ -58,6 +58,23 @@ def test_dictionary_detector_finds_bracketed_names(spark, sf_dir):
     t.unpersist()
 
 
+def test_dictionary_detector_broadcast_matches_closure(spark, sf_dir):
+    """Broadcast-variable dictionary shipping (the 10^7-name path) must
+    produce exactly the closure-shipped detector's output."""
+    t = fixtures.load_transcripts(spark, sf_dir).limit(300).cache()
+    e = fixtures.load_entities(spark, sf_dir)
+    a = sorted(
+        (r.conv_id, r.turn_idx, r.mention)
+        for r in extract.detect_mentions_dictionary(t, e).collect()
+    )
+    b = sorted(
+        (r.conv_id, r.turn_idx, r.mention)
+        for r in extract.detect_mentions_dictionary(t, e, use_broadcast=True).collect()
+    )
+    assert a == b and a
+    t.unpersist()
+
+
 def test_connected_components_vs_union_find(spark, sf_dir):
     edges = graph.bom_edges_from_linked(
         linking.link_mentions(
@@ -86,6 +103,21 @@ def test_connected_components_vs_union_find(spark, sf_dir):
     want = {n: find(n) for n in parent}
     got = {r.node: r.component for r in graph.connected_components(edges).collect()}
     assert got == want
+
+
+def test_bom_edges_direct_matches_mention_path(spark, sf_dir):
+    """The shuffle-free direct edge assembly must equal the canonical
+    mention-row path (extract -> link -> pivot) exactly."""
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    classic = {
+        (r.parent, r.child)
+        for r in graph.bom_edges_from_linked(
+            linking.link_mentions(extract.extract_mentions(t), e)
+        ).collect()
+    }
+    direct = {(r.parent, r.child) for r in graph.bom_edges_direct(t, e).collect()}
+    assert direct == classic and classic
 
 
 def test_cc_star_matches_label_propagation_on_long_chain(spark):
