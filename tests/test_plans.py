@@ -52,6 +52,32 @@ def test_column_pruning_on_projection(spark, sf_dir):
         assert "p_name" not in read_schema and "p_brand" not in read_schema
 
 
+def test_direct_edge_assembly_has_no_corpus_shuffle(spark, sf_dir):
+    """bom_edges_direct must resolve both slots map-side (4 broadcast
+    joins) and shuffle only the map-side-combined distinct edge set —
+    exactly one exchange pair (partial/final dedup agg), never a
+    corpus-proportional exchange."""
+    from kgforge import graph
+
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    plan = _plan(graph.bom_edges_direct(t, e))
+    # 4 resolution joins (index + passthrough per slot) + 1 broadcast
+    # inside the fixture's transcript derivation (lineitem x part)
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    # the ONLY corpus-derived shuffle is the dedup exchange on
+    # (parent, child) — already map-side-combined to the distinct edge
+    # set. Remaining exchanges belong to dictionary/fixture derivation
+    # (dim-sized, built once): windows over part/order keys, name-index
+    # groupBy. Nothing may shuffle per-mention or per-turn rows.
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    edge_exchanges = [ln for ln in exchanges if "parent" in ln and "child" in ln]
+    assert len(edge_exchanges) == 1, exchanges
+    for ln in exchanges:
+        assert "mention" not in ln and "conv_id" not in ln and "turn_idx" not in ln, ln
+
+
 def test_relational_stages_have_no_python_crossings(spark, sf_dir):
     t = fixtures.load_transcripts(spark, sf_dir)
     e = fixtures.load_entities(spark, sf_dir)
