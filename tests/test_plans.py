@@ -59,12 +59,14 @@ def test_direct_edge_assembly_has_no_corpus_shuffle(spark, sf_dir):
     corpus-proportional exchange."""
     from kgforge import graph
 
-    t = fixtures.load_transcripts(spark, sf_dir)
+    # materialize the synthetic transcripts first: in production the
+    # text column pre-exists in the Iceberg table — the fixture's
+    # synthesis windows must not count against the operator's plan
+    t = fixtures.load_transcripts(spark, sf_dir).localCheckpoint(eager=True)
     e = fixtures.load_entities(spark, sf_dir)
     plan = _plan(graph.bom_edges_direct(t, e))
-    # 4 resolution joins (index + passthrough per slot) + 1 broadcast
-    # inside the fixture's transcript derivation (lineitem x part)
-    assert plan.count("BroadcastHashJoin") == 5
+    # 4 resolution joins: dictionary index + number passthrough per slot
+    assert plan.count("BroadcastHashJoin") == 4
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     # the ONLY corpus-derived shuffle is the dedup exchange on
     # (parent, child) — already map-side-combined to the distinct edge
