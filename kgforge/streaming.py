@@ -41,6 +41,68 @@ def deduped_turns(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def mention_chain_stream(stream: DataFrame) -> DataFrame:
+    """Custom *stateful* streaming operator (``applyInPandasWithState``):
+    per-conversation mention chaining across micro-batches.
+
+    Each turn's ``ref`` mention is linked to the previous turn's mention
+    *within the conversation* — the streaming analogue of the batch
+    ``lag(mention) over (partition by conv_id order by turn_idx)``
+    window. The last seen (turn_idx, mention) per conversation lives in
+    the state store, so a chain spans micro-batches and survives query
+    restarts (state is checkpoint-recovered); ``foreachBatch`` alone
+    cannot express this because the linkage crosses batch boundaries.
+
+    Assumes per-conversation turns arrive in order across batches (an
+    append-only transcript log); within a batch rows are sorted by
+    turn_idx. Output equals the batch-extracted ``parent=[...]`` markup
+    on the fixture corpus (pytest-asserted, including a two-query
+    restart).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from kgforge.extract import REF_PATTERN
+
+    out_schema = "conv_id string, turn_idx int, mention string, parent_mention string"
+    state_schema = "last_turn int, last_mention string"
+
+    with_mention = stream.withColumn(
+        "mention", F.regexp_extract("text", REF_PATTERN, 1)
+    ).filter(F.col("mention") != "").select("conv_id", "turn_idx", "mention")
+
+    def chain(key, pdfs, state):
+        rows = pd.concat(list(pdfs)).sort_values("turn_idx")
+        last_turn, last_mention = state.get if state.exists else (-1, None)
+        out = []
+        for r in rows.itertuples():
+            out.append((key[0], int(r.turn_idx), r.mention, last_mention))
+            last_turn, last_mention = int(r.turn_idx), r.mention
+        state.update((last_turn, last_mention))
+        yield pd.DataFrame(
+            out, columns=["conv_id", "turn_idx", "mention", "parent_mention"]
+        )
+
+    return with_mention.groupBy("conv_id").applyInPandasWithState(
+        chain, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
+def stream_mention_chains(
+    spark: SparkSession, in_path: str, out_path: str, checkpoint: str
+):
+    """Run the stateful chaining operator over a file stream, appending
+    chained mention rows to parquet. Returns the started query."""
+    chained = mention_chain_stream(read_transcript_stream(spark, in_path))
+    return (
+        chained.writeStream.option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out_path)
+        .start()
+    )
+
+
 def stream_triples(
     spark: SparkSession,
     in_path: str,

@@ -30,6 +30,47 @@ def test_stream_triples_matches_batch(spark, sf_dir, tmp_path):
     assert want.exceptAll(got).isEmpty()
 
 
+def test_stateful_mention_chain_spans_batches_and_restarts(spark, sf_dir, tmp_path):
+    """The applyInPandasWithState chain must link a turn to the previous
+    turn's mention even when they arrive in DIFFERENT streaming queries
+    (state recovered from the checkpoint), and must equal the batch
+    lag()-derived parent markup embedded in the fixture text."""
+    from pyspark.sql import functions as F
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    transcripts = fixtures.load_transcripts(spark, sf_dir).filter(
+        F.col("conv_id").isin([r.conv_id for r in
+            fixtures.load_transcripts(spark, sf_dir).select("conv_id").distinct().limit(50).collect()])
+    ).cache()
+
+    # batch 1: early turns; batch 2 (separate query, same checkpoint): the rest
+    transcripts.filter("turn_idx < 3").write.mode("overwrite").parquet(in_dir)
+    streaming.stream_mention_chains(spark, in_dir, out_dir, ckpt).awaitTermination(300)
+    transcripts.filter("turn_idx >= 3").write.mode("append").parquet(in_dir)
+    streaming.stream_mention_chains(spark, in_dir, out_dir, ckpt).awaitTermination(300)
+
+    got = {
+        (r.conv_id, r.turn_idx): r.parent_mention
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # expected: the parent=[...] markup the fixture embeds (= lag(mention))
+    want = {
+        (r.conv_id, r.turn_idx): r.mention
+        for r in extract.extract_mentions(transcripts).filter("slot = 'parent'").collect()
+    }
+    # every turn with an embedded parent must be chained identically —
+    # including turn 3, whose parent (turn 2) arrived in the earlier query
+    assert want, "fixture must contain parent markup"
+    for key, parent in want.items():
+        assert got.get(key) == parent, (key, parent, got.get(key))
+    # first turn of each conversation has no parent
+    firsts = [k for k, v in got.items() if k[1] == 0]
+    assert firsts and all(got[k] is None for k in firsts)
+    transcripts.unpersist()
+
+
 def test_stream_resume_is_incremental(spark, sf_dir, tmp_path):
     """Re-running with the same checkpoint processes nothing new."""
     in_dir = str(tmp_path / "in")
