@@ -1192,43 +1192,128 @@ from kgforge import sql_api
 
 
 @_register(
-    "top_assemblies_sql",
+    "edge_reports_sql",
     with_linking(
-        "SELECT parent, count(*) AS n_children FROM edges GROUP BY parent"
-        " ORDER BY n_children DESC, parent ASC LIMIT 20"
-    ),
-)
-def q_top_assemblies_sql(spark, sf_dir):
-    """#4 (GRAPHDB_QUERIES.md:73-85): children per assembly, top 20 —
-    TakeOrderedAndProject, covers A3."""
-    return sql_api.run(spark, sf_dir, sql_api.TOP_ASSEMBLIES_SQL)
-
-
-@_register(
-    "multi_use_parts_sql",
-    with_linking(
-        "SELECT child, count(*) AS n_assemblies FROM edges GROUP BY child"
-        " HAVING count(*) > 5"
-    ),
-)
-def q_multi_use_parts_sql(spark, sf_dir):
-    """A5 HAVING multi-use parts (GRAPHDB_QUERIES.md:116-143)."""
-    return sql_api.run(spark, sf_dir, sql_api.MULTI_USE_SQL)
-
-
-@_register(
-    "leaf_root_parts_sql",
-    with_linking(
-        """SELECT 'leaf' AS kind, number FROM entities e
+        """SELECT 'top_assembly' AS kind, parent AS a, CAST(n_children AS VARCHAR) AS b
+           FROM (SELECT parent, count(*) AS n_children FROM edges GROUP BY parent
+                 ORDER BY n_children DESC, parent ASC LIMIT 20)
+           UNION ALL
+           SELECT 'multi_use', child, CAST(count(*) AS VARCHAR)
+           FROM edges GROUP BY child HAVING count(*) > 5
+           UNION ALL
+           SELECT 'leaf', number, NULL FROM entities e
            WHERE NOT EXISTS (SELECT 1 FROM edges x WHERE x.parent = e.number)
            UNION ALL
-           SELECT 'root', number FROM entities e
+           SELECT 'root', number, NULL FROM entities e
            WHERE NOT EXISTS (SELECT 1 FROM edges x WHERE x.child = e.number)"""
     ),
 )
-def q_leaf_root_parts_sql(spark, sf_dir):
-    """G7 leaf/root detection (#5 :89-102 + verify roots), kind-tagged."""
-    return sql_api.run(spark, sf_dir, sql_api.LEAF_ROOT_SQL)
+def q_edge_reports_sql(spark, sf_dir):
+    """#4 top-20 children per assembly (:73-85, A3), A5 multi-use HAVING
+    (:116-143), #5 leaves (:89-102) + roots (G7) — kind-tagged."""
+    return sql_api.run(spark, sf_dir, sql_api.EDGE_REPORTS_SQL)
+
+
+@_register(
+    "part_catalog_sql",
+    with_linking(
+        """SELECT 'direct_children' AS kind, x.child AS a, e.name AS b
+           FROM edges x JOIN focus_root r ON x.parent = r.r
+           LEFT JOIN entities e ON e.number = x.child
+           UNION ALL
+           SELECT 'part_details', kv.prop, kv.val FROM (
+             SELECT 'name' AS prop, e.name AS val FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'type', e."type" FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'source', e.source FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'view', e."view" FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'state', e.state FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'revision', e.revision FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'container', e.container FROM entities e JOIN focus_part f ON e.number = f.p
+             UNION ALL SELECT 'part_type', e.part_type FROM entities e JOIN focus_part f ON e.number = f.p
+           ) kv
+           UNION ALL
+           SELECT 'top_components', a, CAST(n AS VARCHAR) FROM (
+             SELECT e.name AS a, count(*) AS n
+             FROM edges x JOIN entities e ON e.number = x.parent
+             GROUP BY e.name ORDER BY n DESC, a ASC LIMIT 10)
+           UNION ALL
+           SELECT 'alternates_for_part', a.replacement_number, e.name
+           FROM alternate_links a JOIN focus_alt f ON a.child_number = f.p
+           LEFT JOIN entities e ON e.number = a.replacement_number
+           UNION ALL
+           SELECT 'parts_with_alternates', coalesce(e.name, a.child_number),
+                  CAST(count(*) AS VARCHAR)
+           FROM alternate_links a LEFT JOIN entities e ON e.number = a.child_number
+           GROUP BY coalesce(e.name, a.child_number)
+           UNION ALL
+           SELECT 'where_used', x.parent, e.name
+           FROM edges x JOIN focus_child f ON x.child = f.c
+           LEFT JOIN entities e ON e.number = x.parent
+           UNION ALL
+           SELECT 'mfg_view', ep.name, ec.name
+           FROM edges x
+           JOIN entities ep ON ep.number = x.parent AND ep."view" = 'Manufacturing'
+           JOIN entities ec ON ec.number = x.child
+           UNION ALL
+           SELECT 'mech_part', e.name, e.number
+           FROM entities e WHERE e.part_type = 'MechanicalPart'
+           UNION ALL
+           SELECT 'count_by_state', state, CAST(count(*) AS VARCHAR)
+           FROM entities GROUP BY state
+           UNION ALL
+           SELECT 'make_vs_buy', ec.name, ec.source
+           FROM edges x JOIN focus_root r ON x.parent = r.r
+           JOIN entities ec ON ec.number = x.child""",
+        extra_ctes="""
+focus_root AS (SELECT min(parent) AS r FROM edges),
+focus_part AS (SELECT min(number) AS p FROM entities),
+focus_alt AS (SELECT min(child_number) AS p FROM alternate_links),
+focus_child AS (SELECT min(child) AS c FROM edges)""",
+    ),
+)
+def q_part_catalog_sql(spark, sf_dir):
+    """The documented catalog corpus, kind-tagged in one surface:
+    #1 direct children (:24-38), #7 part details as property/value pairs
+    (:129-140), #8 assemblies with most components by label (:141-156),
+    #9 alternates of a part (:157-170), #10 parts with alternates
+    (:171-185), #13 where-used (:259-272), #16 Manufacturing-view BOM
+    (:302-317), #17 mechanical parts (:318-332), #18 count by state
+    (:333-345), #19 make-vs-buy within a BOM (:346-361). Focus parts are
+    deterministic string-min picks (the reference pins literal URNs)."""
+    return sql_api.run(spark, sf_dir, sql_api.PART_CATALOG_SQL)
+
+
+@_register(
+    "bom_closure_sql",
+    with_linking(
+        """SELECT 'complete_bom' AS kind, number AS a, name AS b FROM bom
+           UNION ALL
+           SELECT 'released_bom', number, name FROM bom WHERE state = 'RELEASED'
+           UNION ALL
+           SELECT 'name_pattern', number, name FROM bom
+           WHERE regexp_matches(lower(name), 'pool')""",
+        extra_ctes="""
+focus_root AS (SELECT min(parent) AS r FROM edges),
+desc_tree (node, depth) AS (
+  SELECT x.child, 1 FROM edges x JOIN focus_root r ON x.parent = r.r
+  UNION ALL
+  SELECT e.child, t.depth + 1
+  FROM desc_tree t JOIN edges e ON e.parent = t.node
+  WHERE t.depth < 3
+),
+bom AS (
+  SELECT DISTINCT e.number, e.name, e.state
+  FROM desc_tree t JOIN entities e ON e.number = t.node
+)""",
+    ),
+)
+def q_bom_closure_sql(spark, sf_dir):
+    """#14 complete BOM via partOfAssembly (:273-286), #15 state-filtered
+    BOM (:287-301), advanced transitive + name-pattern query (:382-396;
+    fixture analog of 'SCR-' is 'pool') — over the depth-capped recursive
+    descendant set of a deterministic focus root. The FULL unsampled
+    closure is gated separately (transitive_closure_full)."""
+    return sql_api.run(spark, sf_dir, sql_api.BOM_CLOSURE_SQL)
 
 
 @_register(
