@@ -87,3 +87,19 @@ def test_relational_stages_have_no_python_crossings(spark, sf_dir):
     plan = _plan(linked)
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_sql_corpus_scans_cached_graph(spark, sf_dir):
+    """The query corpus must read the cached/materialized edge graph,
+    not re-run extraction+linking per scan: a recursive CTE or a
+    4-branch UNION over an uncached edges_v would re-execute the whole
+    corpus pipeline once per branch/iteration (measured 4x cost at
+    sf0.01). InMemoryTableScan in the plan is the receipt."""
+    from kgforge import sql_api
+
+    df = sql_api.run(spark, sf_dir, sql_api.EDGE_REPORTS_SQL)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan
+    # and no Python crossing inside the query-side plan: linking is all
+    # JVM expressions, the cache cuts the plan above any UDF anyway
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
