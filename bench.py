@@ -333,7 +333,7 @@ def main() -> None:
         # drift. min/min across all runs is reported as a cross-check
         # (it couples the two cleanest draws, which may be far apart in
         # time). All raw runs are reported.
-        reps = int(os.environ.get("KGFORGE_SCALING_REPS", "4"))
+        reps = int(os.environ.get("KGFORGE_SCALING_REPS", "5"))
         scaling = {"runs": []}
         best = {}
         pair_effs = []
