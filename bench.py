@@ -289,6 +289,10 @@ def bench_queries() -> dict[str, float]:
         "embedding_near_dups_lsh",
         lambda: sim.embedding_near_dups(sim.vecs_with_dups(emb), threshold=0.9).count(),
     )
+    timed(
+        "ann_ivf_topk",
+        lambda: sim.ivf_ann_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5).count(),
+    )
 
     from kgforge.datapipe import multimodal as mm
 

@@ -219,6 +219,154 @@ def lsh_ann_topk(
     )
 
 
+# ------------------------------------------------------------------ IVF ANN
+DEFAULT_CENTROIDS = 32
+DEFAULT_NPROBE = 4
+
+
+def ivf_centroids(corpus: DataFrame, n_centroids: int = DEFAULT_CENTROIDS) -> DataFrame:
+    """Deterministic coarse quantizer for the IVF index: the
+    ``n_centroids`` corpus vectors with the smallest vec_id among
+    ``vec_id % 13 == 5``, numbered 0..n-1 in vec_id order. Production
+    swaps in offline k-means-trained centroids (training is a separate
+    batch job); the index/search plumbing — assignment, inverted-list
+    partitioning, probe join — is identical and is what's exercised
+    here. Returns (centroid_id, embedding)."""
+    picked = (
+        corpus.filter(F.col("vec_id") % 13 == 5)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .limit(n_centroids)  # TakeOrderedAndProject: distributed top-n, no global sort
+    )
+    w = Window.orderBy("vec_id")  # over n_centroids rows only
+    return picked.withColumn("centroid_id", F.row_number().over(w) - 1).select(
+        "centroid_id", "embedding"
+    )
+
+
+def _centroid_matrix(corpus: DataFrame, n_centroids: int) -> np.ndarray:
+    """Quantized centroid matrix (n_centroids x dim, int64), row i =
+    centroid_id i. Centroids are dictionary-sized (k x dim), so the
+    driver collect + closure broadcast is the standard small-dim-table
+    pattern (same as the linking dictionary)."""
+    rows = ivf_centroids(corpus, n_centroids).collect()
+    mat = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * QUANT_SCALE).astype(
+                np.int64
+            )
+            for r in sorted(rows, key=lambda r: r["centroid_id"])
+        ]
+    )
+    return mat
+
+
+def ivf_assign(
+    vectors: DataFrame, cents: np.ndarray, nprobe: int = 1
+) -> DataFrame:
+    """(vec_id, centroid_id) probe assignments: the ``nprobe`` centroids
+    with the largest quantized integer dot product (ties -> smaller
+    centroid_id). Integer arithmetic makes the assignment bit-identical
+    across engines; one Arrow-batch int64 matmul per partition."""
+
+    @pandas_udf("array<int>")
+    def probes_udf(embs: pd.Series) -> pd.Series:
+        mat = np.stack(
+            [
+                np.floor(np.asarray(v, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
+                for v in embs
+            ]
+        )
+        dots = mat @ cents.T  # n x n_centroids
+        # argsort on (-dot, centroid_id): stable mergesort keeps the
+        # smaller centroid_id first among equal dots
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return vectors.select(
+        "vec_id", F.explode(probes_udf(F.col("embedding"))).alias("centroid_id")
+    )
+
+
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    nprobe: int = DEFAULT_NPROBE,
+) -> DataFrame:
+    """IVF approximate top-k — the inverted-file scale path alongside
+    LSH: corpus vectors are assigned to their nearest centroid (the
+    inverted lists; at scale a table bucketed/partitioned by
+    centroid_id), queries probe their ``nprobe`` nearest lists, and only
+    list members are exactly re-scored. Comparisons are bounded by
+    nprobe/n_centroids of the corpus instead of all-pairs; the candidate
+    join shuffles on centroid_id (low-cardinality, co-located lists),
+    never on the cross product."""
+    cents = _centroid_matrix(corpus, n_centroids)
+    corpus_lists = ivf_assign(corpus, cents, nprobe=1).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    query_probes = ivf_assign(queries, cents, nprobe=nprobe).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    cand = (
+        query_probes.join(corpus_lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates()
+    )
+    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= k).select(
+        "query_id",
+        "neighbor_id",
+        "rank",
+        F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
+    )
+
+
+def ivf_cte(source: str = "embeddings", n_centroids: int = DEFAULT_CENTROIDS) -> str:
+    """DuckDB CTEs replaying the IVF index exactly: centroid pick by the
+    same deterministic rule, quantized integer dot products, tie-break
+    on smaller centroid_id."""
+    return f"""
+iv AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT_SCALE}) AS BIGINT)) AS q,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM {source}
+),
+centroids AS (
+  SELECT centroid_id, cq FROM (
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS centroid_id, q AS cq
+    FROM iv WHERE vec_id % 13 = 5)
+  WHERE centroid_id < {n_centroids}
+),
+ivf_dots AS (
+  SELECT iv.vec_id, c.centroid_id,
+         list_sum(list_transform(generate_series(1, len(iv.q)), d -> iv.q[d] * c.cq[d])) AS dot
+  FROM iv CROSS JOIN centroids c
+),
+ivf_ranked AS (
+  SELECT vec_id, centroid_id,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dot DESC, centroid_id ASC) AS pr
+  FROM ivf_dots
+)"""
+
+
 def embedding_near_dups(vectors: DataFrame, threshold: float = 0.999) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (doc_a < doc_b) — the
     vector-space analogue of MinHash dedup. **LSH-bucketed by default**

@@ -1096,13 +1096,46 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 5"""
 
 
-@_register("ann_lsh_topk", ANN_LSH_SQL)
-def q_ann_lsh_topk(spark, sf_dir):
-    """LSH ANN gated against a DuckDB replay of the same quantized
-    bucketing (round-2 upgrade from rows-only)."""
+ANN_IVF_SQL = f"""WITH {sim.ivf_cte()[1:]},
+ivf_cand AS (
+  SELECT DISTINCT qp.vec_id AS query_id, cl.vec_id AS neighbor_id
+  FROM ivf_ranked qp JOIN ivf_ranked cl ON qp.centroid_id = cl.centroid_id
+  WHERE qp.vec_id % 50 = 0 AND qp.pr <= {sim.DEFAULT_NPROBE} AND cl.pr = 1
+    AND qp.vec_id <> cl.vec_id),
+scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(a.v, b.v)
+         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cosine
+  FROM ivf_cand JOIN iv a ON a.vec_id = ivf_cand.query_id
+                JOIN iv b ON b.vec_id = ivf_cand.neighbor_id)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       CAST(floor(cosine * 10000) AS BIGINT) AS cosine_e4
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+             ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+WHERE rank <= 5"""
+
+
+@_register(
+    "ann_topk_bucketed",
+    f"SELECT 'lsh' AS method, * FROM ({ANN_LSH_SQL})\n"
+    f"UNION ALL\nSELECT 'ivf', * FROM ({ANN_IVF_SQL})",
+)
+def q_ann_topk_bucketed(spark, sf_dir):
+    """Both bucketed ANN scale paths, kind-tagged and gated against full
+    DuckDB replays of the identical quantized-integer index math:
+    method=lsh (random-hyperplane band buckets) and method=ivf
+    (inverted-file lists: deterministic centroids, nprobe=4 probe join).
+    Candidates only from bucket/list collisions — no all-pairs stage in
+    either path."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % 50 == 0)
-    return sim.lsh_ann_topk(queries, emb, k=5).withColumn("rank", F.col("rank").cast("bigint"))
+    lsh = sim.lsh_ann_topk(queries, emb, k=5).withColumn("method", F.lit("lsh"))
+    ivf = sim.ivf_ann_topk(queries, emb, k=5).withColumn("method", F.lit("ivf"))
+    return (
+        lsh.unionByName(ivf)
+        .withColumn("rank", F.col("rank").cast("bigint"))
+        .select("method", "query_id", "neighbor_id", "rank", "cosine_e4")
+    )
 
 
 ROLLING_FP_SQL = """

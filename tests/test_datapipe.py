@@ -134,6 +134,22 @@ def test_multimodal_decode_plumbing(spark, sf_dir):
     ]
 
 
+def test_ivf_ann_clone_recall_and_plan(spark, sf_dir):
+    """IVF must (a) never build a cross product — candidates come from
+    the centroid-list join — and (b) retrieve every injected exact clone
+    at rank 1: a clone shares its original's embedding, hence its
+    quantized dots, hence its single assigned centroid list."""
+    emb = sim.vecs_with_dups(_emb(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") >= 1000000)  # the clones
+    top = sim.ivf_ann_topk(queries, emb, k=1)
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    want = {(r.vec_id + 1000000, r.vec_id) for r in
+            _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()}
+    assert want <= got, f"missing clone retrievals: {len(want - got)} of {len(want)}"
+
+
 def test_embedding_near_dups_lsh_recall_and_plan(spark, sf_dir):
     """The default near-dup path must (a) contain no CartesianProduct
     in its physical plan and (b) keep recall >= 0.95 vs the brute-force
