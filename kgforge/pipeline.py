@@ -6,8 +6,10 @@ derive reverse + transitive-closure edges -> union triple families ->
 materialize subject-hash-bucketed triple table + N-Triples parity
 output + statistics, with per-partition manifest commits (resume.py).
 
-Run as: ``spark-submit --py-files kgforge.zip -m kgforge.pipeline`` (or
-``python -m kgforge.pipeline [sf_dir] [out_dir]`` locally).
+Run as ``spark-submit --master <cluster> --py-files kgforge.zip
+driver.py <in> <out>`` where driver.py calls :func:`run_pipeline`
+(tests/test_pipeline.py packages the zip and submits exactly this), or
+``python -m kgforge.pipeline [sf_dir] [out_dir]`` locally.
 """
 
 from __future__ import annotations

@@ -35,9 +35,17 @@ def get_spark(
         shuffle_partitions = int(
             os.environ.get("KGFORGE_SHUFFLE_PARTITIONS", str(DEFAULT_SHUFFLE_PARTITIONS))
         )
+    builder = SparkSession.builder.appName(app_name)
+    # Under spark-submit the cluster master arrives via --master and the
+    # JVM is already running (PythonRunner exports PYSPARK_GATEWAY_PORT
+    # for the driver to attach to); forcing local[N] here would silently
+    # turn a cluster job into a driver-local one. SparkConf() can't be
+    # probed instead: before the gateway attaches it is a plain Python
+    # dict that never sees the submitted java properties.
+    if "PYSPARK_GATEWAY_PORT" not in os.environ:
+        builder = builder.master(f"local[{cores}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cores}]")
+        builder
         # AQE: runtime partition coalescing + skew-join splitting. At 100 TB the
         # Zipfian mention distribution makes skewed shuffles the norm, not the
         # exception — AQE plus explicit salting (linking.py) covers both halves.

@@ -220,3 +220,48 @@ def test_iri_encode_udf_matches_quote(spark):
     df = spark.createDataFrame([("100 SNOW",), ("a#b/c",), ("plain",)], "s string")
     got = {r[0] for r in df.select(iri_encode_udf("s")).collect()}
     assert got == {"100%20SNOW", "a%23b/c", "plain"}
+
+
+def test_spark_submit_pyfiles_lifecycle(tmp_path):
+    """North-rule lifecycle evidence: package kgforge as a --py-files
+    zip and run the pipeline through a real ``spark-submit`` driver from
+    a directory where the package is NOT importable — imports must
+    resolve from the zip, the submitted --master must be respected (no
+    local[N] override in get_spark), and the run must emit the stats
+    block + a committed manifest."""
+    import json
+    import subprocess
+    import zipfile
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    zip_path = tmp_path / "kgforge.zip"
+    with zipfile.ZipFile(zip_path, "w") as z:
+        for p in sorted((repo / "kgforge").rglob("*.py")):
+            z.write(p, p.relative_to(repo))
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import json, sys\n"
+        "from kgforge.session import get_spark\n"
+        "from kgforge.pipeline import run_pipeline\n"
+        "spark = get_spark('kgforge-submit')\n"
+        "assert spark.conf.get('spark.master') == 'local[4]', spark.conf.get('spark.master')\n"
+        "print('STATS::' + json.dumps(run_pipeline(spark, sys.argv[1], sys.argv[2]), default=int))\n"
+    )
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[4]",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zip_path),
+            str(driver), "/root/testdata/sf0.001", str(out_dir),
+        ],
+        capture_output=True, text=True, cwd=tmp_path, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    stats_line = [ln for ln in proc.stdout.splitlines() if ln.startswith("STATS::")]
+    assert stats_line, proc.stdout[-2000:]
+    stats = json.loads(stats_line[0][len("STATS::"):])
+    assert stats["total_triples"] > 0 and stats["n_edges"] > 0
+    assert (out_dir / "_manifest.json").exists()
