@@ -31,6 +31,29 @@ ENTITIES = [
     ("444", "Bolt", None, None, None, None, None, None),
     ("555", "Bolt", None, None, None, None, None, None),  # ambiguous with 444
     ("666", "Track", "WTPart", "Design", "RELEASED", "make", "C", "container-3"),
+    # URI-hostile number (the reference's own flagship part is
+    # 'urn:part:100%20SNOW'); container literal stays unencoded
+    ("100 SNOW", "Snow Mobile", "WTPart", "Design", "RELEASED", "make", "D", "container #4"),
+]
+
+# alternate links (original, replacement, type): duplicate rows collapse
+# (rdflib Graph is a set); replacement '999' has no part row — the
+# reference emits the triple anyway (build_alternate_triples :938-942
+# has no existence check)
+ALT_LINKS = [
+    ("444", "555", "alternate"),
+    ("222", "999", "replacement"),
+    ("222", "999", "replacement"),
+]
+
+# describe links (doc, part, revision, org, container): DOC-2 describes
+# two parts but its document-node triples emit once; null metadata
+# skipped (build_document_triples :944-953, build_describe_triples
+# :955-960)
+DOC_LINKS = [
+    ("DOC-1", "111", "A", "org-1", None),
+    ("DOC-2", "100 SNOW", None, None, "lib #2"),
+    ("DOC-2", "666", None, None, "lib #2"),
 ]
 
 # transcripts: (conv_id, turn_idx, ref_mention, parent_mention)
@@ -47,6 +70,8 @@ TURNS = [
     ("c2", 1, "333.0", "Track"),        # pass-through number
     ("c2", 2, "Frame", "Engine"),       # closes cycle Frame->Ski->Engine->Frame
     ("c3", 0, "Frame", "Frame"),        # self-loop -> filtered
+    ("c4", 0, "100 SNOW", None),
+    ("c4", 1, "Track", "100 SNOW"),     # raw-number pass-through parent with a space
 ]
 
 
@@ -127,6 +152,27 @@ def _oracle_triples() -> set[tuple[str, str, str, bool]]:
     for anc in set(children) | {c for cs in children.values() for c in cs}:
         for desc in descendants(anc):
             triples.add((part_iri(desc), ONT + "partOfAssembly", part_iri(anc), False))
+
+    # alternates (:938-942): every link row, no existence check
+    for orig, repl, _rtype in ALT_LINKS:
+        triples.add((part_iri(orig), ONT + "hasAlternate", part_iri(repl), False))
+
+    def doc_iri(n: str) -> str:
+        return f"urn:document:{urllib.parse.quote(n)}"
+
+    # describes (:955-960) + one document node per unique doc (:944-953)
+    docs_seen: dict[str, tuple] = {}
+    for dnum, pnum, drev, dorg, dcont in DOC_LINKS:
+        triples.add((doc_iri(dnum), ONT + "describes", part_iri(pnum), False))
+        docs_seen.setdefault(dnum, (drev, dorg, dcont))
+    for dnum, (drev, dorg, dcont) in docs_seen.items():
+        triples.add((doc_iri(dnum), RDF_TYPE, ONT + "Document", False))
+        if drev:
+            triples.add((doc_iri(dnum), ONT + "hasRevision", drev, True))
+        if dorg:
+            triples.add((doc_iri(dnum), ONT + "hasOrganization", dorg, True))
+        if dcont:
+            triples.add((doc_iri(dnum), ONT + "inContainer", dcont, True))
     return triples
 
 
@@ -146,6 +192,14 @@ def _spark_triples(spark) -> set[tuple[str, str, str, bool]]:
     transcripts = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
     )
+    alt = spark.createDataFrame(
+        ALT_LINKS, "child_number string, replacement_number string, replacement_type string"
+    )
+    desc = spark.createDataFrame(
+        DOC_LINKS,
+        "document_number string, part_number string, document_revision string,"
+        " document_org string, document_container string",
+    )
     mentions = extract.extract_mentions(transcripts)
     linked = linking.link_mentions(mentions, ents)
     edges = graph.bom_edges_from_linked(linked)
@@ -155,6 +209,9 @@ def _spark_triples(spark) -> set[tuple[str, str, str, bool]]:
         materialize.bom_triples(edges),
         materialize.used_in_triples(edges),
         materialize.part_of_assembly_triples(closure),
+        materialize.alternate_triples(alt),
+        materialize.describe_triples(desc),
+        materialize.document_triples(desc),
     )
     return {(r.subj, r.pred, r.obj, r.obj_is_literal) for r in triples.collect()}
 
@@ -179,13 +236,25 @@ def test_oracle_golden_counts():
     by_pred: dict[str, int] = {}
     for _, p, _, _ in want:
         by_pred[p] = by_pred.get(p, 0) + 1
-    assert by_pred[RDF_TYPE] == 6
-    assert by_pred[ONT + "name"] == 6
-    assert by_pred[RDFS_LABEL] == 6
-    # edges: Frame->Ski, Ski->Engine, Engine->Frame (cycle), and
-    # Track->Engine ('333.0' pass-through resolves to Engine's number)
-    assert by_pred[ONT + "hasComponent"] == 4
-    assert by_pred[ONT + "usedIn"] == 4
+    # 7 Part type triples + 2 Document type triples
+    assert by_pred[RDF_TYPE] == 9
+    assert by_pred[ONT + "name"] == 7
+    assert by_pred[RDFS_LABEL] == 7
+    # edges: Frame->Ski, Ski->Engine, Engine->Frame (cycle),
+    # Track->Engine ('333.0' pass-through), and '100 SNOW'->Track
+    # (raw-number pass-through with a space)
+    assert by_pred[ONT + "hasComponent"] == 5
+    assert by_pred[ONT + "usedIn"] == 5
     # closure: cycle {Frame,Ski,Engine} = 3x3 pairs (incl. self-pairs,
-    # reference DFS emits them) + Track reaches all 3 cycle members
-    assert by_pred[ONT + "partOfAssembly"] == 12
+    # reference DFS emits them) + Track reaches all 3 cycle members +
+    # '100 SNOW' reaches Track and the 3 cycle members
+    assert by_pred[ONT + "partOfAssembly"] == 16
+    # alternates: 2 distinct links (duplicate row collapses)
+    assert by_pred[ONT + "hasAlternate"] == 2
+    # describes: 3 link rows; documents: 2 nodes, metadata only if truthy
+    assert by_pred[ONT + "describes"] == 3
+    assert by_pred[ONT + "hasOrganization"] == 1
+    # hasRevision: 4 part revisions (A, B, C, D) + DOC-1's 'A'
+    assert by_pred[ONT + "hasRevision"] == 5
+    # inContainer: 4 part containers + DOC-2's 'lib #2'
+    assert by_pred[ONT + "inContainer"] == 5
