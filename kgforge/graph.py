@@ -588,6 +588,38 @@ def level_stack_decode_usage(rows: DataFrame) -> DataFrame:
     )
 
 
+def level_stack_decode_usage_window(rows: DataFrame, max_level: int) -> DataFrame:
+    """Usage decode as pure window expressions (no Python crossing): the
+    parent of a level-L row is the last preceding level-(L-1) row in the
+    group, and the usage attributes ride on the child row itself — no
+    stack state needed for them at all. Same stale-entry caveat as
+    :func:`level_stack_decode_window`; pytest asserts equivalence with
+    the general applyInPandas decoder on the fixture hierarchy. This is
+    the production path at 10^12 rows (one shuffle by group, whole-stage
+    codegen); the applyInPandas variant remains the arbitrary-depth
+    general decoder."""
+    w = (
+        Window.partitionBy("group_id")
+        .orderBy("row_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lasts = [
+        F.last(F.when(F.col("level") == lvl, F.col("number")), ignorenulls=True).over(w).alias(f"last_l{lvl}")
+        for lvl in range(max_level)
+    ]
+    df = rows.select(
+        "group_id", "row_idx", "level", "number", "quantity", "uom", "find_number", *lasts
+    )
+    parent = F.lit(None).cast("string")
+    for lvl in range(1, max_level + 1):
+        parent = F.when(F.col("level") == lvl, F.col(f"last_l{lvl - 1}")).otherwise(parent)
+    return (
+        df.withColumn("parent", parent)
+        .filter(F.col("parent").isNotNull() & (F.col("level") > 0))
+        .select("parent", F.col("number").alias("child"), "quantity", "uom", "find_number")
+    )
+
+
 def chains(edges: DataFrame, n_hops: int) -> DataFrame:
     """G8 bounded path enumeration: every path of exactly ``n_hops``
     edges, returned as an arrow-joined string (reference supersession /

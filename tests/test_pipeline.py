@@ -39,6 +39,20 @@ def test_level_stack_window_matches_applyinpandas(spark, sf_dir):
     assert a == b
 
 
+def test_usage_window_matches_applyinpandas(spark, sf_dir):
+    """The gate's JVM-only usage decode must equal the general stateful
+    decoder — full rows including the carried usage attributes."""
+    rows = fixtures.load_hierarchy(spark, sf_dir)
+    a = {tuple(r) for r in graph.level_stack_decode_usage(rows).dropDuplicates().collect()}
+    b = {
+        tuple(r)
+        for r in graph.level_stack_decode_usage_window(rows, max_level=2)
+        .dropDuplicates()
+        .collect()
+    }
+    assert a == b
+
+
 def test_dictionary_detector_finds_bracketed_names(spark, sf_dir):
     """The pandas-UDF dictionary detector must find at least every
     dictionary name that the structural extractor finds."""
