@@ -245,14 +245,10 @@ def test_spark_submit_pyfiles_lifecycle(tmp_path):
     block + a committed manifest."""
     import json
     import subprocess
-    import zipfile
-    from pathlib import Path
 
-    repo = Path(__file__).resolve().parents[1]
-    zip_path = tmp_path / "kgforge.zip"
-    with zipfile.ZipFile(zip_path, "w") as z:
-        for p in sorted((repo / "kgforge").rglob("*.py")):
-            z.write(p, p.relative_to(repo))
+    from kgforge.package import build
+
+    zip_path = build(str(tmp_path / "kgforge.zip"))
     driver = tmp_path / "driver.py"
     driver.write_text(
         "import json, sys\n"
