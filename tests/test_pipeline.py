@@ -275,3 +275,42 @@ def test_spark_submit_pyfiles_lifecycle(tmp_path):
     stats = json.loads(stats_line[0][len("STATS::"):])
     assert stats["total_triples"] > 0 and stats["n_edges"] > 0
     assert (out_dir / "_manifest.json").exists()
+
+
+def test_connector_delivers_all_lines_with_flaky_transport(spark, sf_dir, tmp_path):
+    """K1 HTTP-leg connector: every rendered N-Triples line is delivered
+    exactly once per content chunk despite a transport that fails the
+    first attempt for every batch; chunk ids are content-stable so
+    replays dedupe on disk."""
+    from kgforge import connector, fixtures, materialize
+
+    ents = fixtures.load_entities(spark, sf_dir)
+    lines = materialize.ntriples_lines(materialize.part_triples(ents))
+    n_lines = lines.count()
+    out = tmp_path / "delivered"
+    out.mkdir()
+
+    out_s = str(out)
+
+    def flaky_file_transport(payload: bytes, batch_id: str) -> bool:
+        import os
+
+        marker = os.path.join(out_s, batch_id + ".attempted")
+        if not os.path.exists(marker):  # fail every batch's first attempt
+            open(marker, "w").close()
+            return False
+        with open(os.path.join(out_s, batch_id + ".nt"), "wb") as f:
+            f.write(payload)
+        return True
+
+    stats = connector.deliver_ntriples(
+        lines, flaky_file_transport, batch_size=100, max_retries=3
+    )
+    assert stats["lines_delivered"] == n_lines
+    assert stats["attempts"] >= 2 * stats["chunks_delivered"]  # every chunk retried once
+    delivered = []
+    for p in out.glob("*.nt"):
+        delivered.extend(p.read_text().splitlines())
+    assert len(delivered) == n_lines
+    want = {r["line"] for r in lines.collect()}
+    assert set(delivered) == want
