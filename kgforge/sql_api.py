@@ -64,24 +64,6 @@ SELECT 'root', number, NULL FROM entities_v e
 WHERE NOT EXISTS (SELECT 1 FROM edges_v x WHERE x.child = e.number)
 """
 
-# Back-compat single-query forms (pytest surface)
-TOP_ASSEMBLIES_SQL = """
-SELECT parent, count(*) AS n_children
-FROM edges_v GROUP BY parent
-ORDER BY n_children DESC, parent ASC LIMIT 20
-"""
-MULTI_USE_SQL = """
-SELECT child, count(*) AS n_assemblies
-FROM edges_v GROUP BY child HAVING count(*) > 5
-"""
-LEAF_ROOT_SQL = """
-SELECT 'leaf' AS kind, number FROM entities_v e
-WHERE NOT EXISTS (SELECT 1 FROM edges_v x WHERE x.parent = e.number)
-UNION ALL
-SELECT 'root' AS kind, number FROM entities_v e
-WHERE NOT EXISTS (SELECT 1 FROM edges_v x WHERE x.child = e.number)
-"""
-
 # The rest of the documented corpus as ONE kind-tagged catalog surface.
 # The reference queries pin literal part URNs (urn:part:100%20SNOW,
 # urn:part:7547332); fixtures have no such parts, so each focus part is
