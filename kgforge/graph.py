@@ -379,6 +379,184 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> Dat
     raise ClosureNotConverged(f"star contraction not stable after {max_iterations} rounds")
 
 
+def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+    """(node, scc) — coloring/peeling SCC (Orzan-style), the
+    condensation primitive for :func:`transitive_closure_condensed`:
+
+    per outer round over the still-unassigned subgraph:
+      1. forward-propagate the MAX node id to a fixpoint — c(v) = the
+         largest id that reaches v (including v itself);
+      2. nodes with c(v) == v are color roots, and SCC(r) is exactly the
+         set backward-reachable from r through edges whose endpoints
+         BOTH carry color r (they reach r forward by definition of the
+         color, and r reaches them by the backward walk);
+      3. assign, peel, repeat.
+
+    Every round assigns at least every color root, so the loop
+    terminates; worst case is O(#SCCs) rounds (a descending-id chain
+    peels one per round) — fine for BOM-shaped data whose cycles are
+    few and shallow; a production all-cases SCC would use
+    divide-and-conquer forward-backward on top of the same two
+    reachability kernels. All steps are joins/aggregates with
+    per-round localCheckpoint, no driver-side graph state.
+    """
+    spark = edges.sparkSession
+    e_all = (
+        edges.select("parent", "child")
+        .filter(F.col("parent") != F.col("child"))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    parts = _fixpoint_partitions(spark, e_all.count())
+    nodes = (
+        edges.select(F.col("parent").alias("node"))
+        .unionByName(edges.select(F.col("child").alias("node")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    assigned = nodes.select("node", F.lit(None).cast("string").alias("scc")).filter(
+        F.lit(False)
+    )
+    active = nodes
+    with _constraint_propagation_off(spark, parts):
+        for _ in range(max_iterations):
+            if active.isEmpty():
+                return assigned
+            ae = (
+                e_all.join(active.withColumnRenamed("node", "parent"), "parent")
+                .join(active.withColumnRenamed("node", "child"), "child")
+                .select("parent", "child")
+                .localCheckpoint(eager=True)
+            )
+            # 1. forward max-color fixpoint
+            color = active.withColumn("color", F.col("node")).localCheckpoint(eager=True)
+            for _f in range(max_iterations * 4):
+                pushed = (
+                    ae.join(
+                        color.select(
+                            F.col("node").alias("parent"), F.col("color").alias("pcolor")
+                        ),
+                        "parent",
+                    )
+                    .groupBy(F.col("child").alias("node"))
+                    .agg(F.max("pcolor").alias("pmax"))
+                )
+                nxt = (
+                    color.join(pushed, "node", "left")
+                    .select(
+                        "node",
+                        F.greatest(F.col("color"), F.coalesce("pmax", "color")).alias("color"),
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                changed = (
+                    nxt.alias("n")
+                    .join(color.alias("c"), "node")
+                    .filter(F.col("n.color") != F.col("c.color"))
+                )
+                stable = changed.isEmpty()
+                color = nxt
+                if stable:
+                    break
+            else:  # pragma: no cover
+                raise ClosureNotConverged("SCC forward coloring did not stabilize")
+            # 2. backward walk from the roots inside each color class
+            ce = (
+                ae.join(
+                    color.select(F.col("node").alias("parent"), F.col("color").alias("pc")),
+                    "parent",
+                )
+                .join(
+                    color.select(F.col("node").alias("child"), F.col("color").alias("cc")),
+                    "child",
+                )
+                .filter(F.col("pc") == F.col("cc"))
+                .select("parent", "child", F.col("pc").alias("color"))
+                .localCheckpoint(eager=True)
+            )
+            reached = (
+                color.filter(F.col("node") == F.col("color"))
+                .select("node", F.col("color").alias("scc"))
+                .localCheckpoint(eager=True)
+            )
+            frontier = reached
+            for _b in range(max_iterations * 4):
+                step = (
+                    ce.join(
+                        frontier.select(F.col("node").alias("child"), "scc"), "child"
+                    )
+                    .filter(F.col("color") == F.col("scc"))
+                    .select(F.col("parent").alias("node"), "scc")
+                    .dropDuplicates()
+                    .join(reached.select("node"), "node", "left_anti")
+                    .localCheckpoint(eager=True)
+                )
+                if step.isEmpty():
+                    break
+                reached = reached.unionByName(step)
+                frontier = step
+            else:  # pragma: no cover
+                raise ClosureNotConverged("SCC backward walk did not stabilize")
+            assigned = assigned.unionByName(reached).localCheckpoint(eager=True)
+            active = active.join(reached.select("node"), "node", "left_anti").localCheckpoint(
+                eager=True
+            )
+        if active.isEmpty():
+            return assigned
+        raise ClosureNotConverged(f"SCC peeling not finished after {max_iterations} rounds")
+
+
+def transitive_closure_condensed(edges: DataFrame) -> DataFrame:
+    """G4 via SCC condensation — the scale path for *cyclic* graphs:
+    contract every strongly connected component to one supernode, run
+    the delta-doubling closure on the (acyclic, usually far smaller)
+    condensation DAG, then expand supernode pairs back to member pairs.
+
+    Why it scales: inside an SCC of size k the raw closure holds all
+    k x k pairs, and every fixpoint round of a direct closure re-shuffles
+    them; after contraction they cost nothing until the final expansion
+    join (which is output-sized, irreducible). Semantics equal
+    :func:`transitive_closure` exactly (pytest vs Python DFS and the
+    direct closure): intra-SCC pairs (including self-pairs — the
+    reference DFS emits (x, x) inside cycles), plus self-loops, plus
+    member-expanded DAG-closure pairs.
+    """
+    scc = strongly_connected_components(edges).localCheckpoint(eager=True)
+    by_parent = scc.select(F.col("node").alias("parent"), F.col("scc").alias("scc_p"))
+    by_child = scc.select(F.col("node").alias("child"), F.col("scc").alias("scc_c"))
+    dag_edges = (
+        edges.join(by_parent, "parent")
+        .join(by_child, "child")
+        .filter(F.col("scc_p") != F.col("scc_c"))
+        .select(F.col("scc_p").alias("parent"), F.col("scc_c").alias("child"))
+        .dropDuplicates()
+    )
+    dag_closure = transitive_closure(dag_edges)
+    members = scc.select(F.col("scc").alias("grp"), F.col("node").alias("member"))
+    sizes = members.groupBy("grp").agg(F.count("*").alias("n"))
+    multi = members.join(sizes.filter(F.col("n") > 1).select("grp"), "grp")
+    intra = (
+        multi.select("grp", F.col("member").alias("parent"))
+        .join(multi.select("grp", F.col("member").alias("child")), "grp")
+        .select("parent", "child")
+    )
+    self_loops = edges.filter(F.col("parent") == F.col("child")).select(
+        "parent", "child"
+    ).dropDuplicates()
+    inter = (
+        dag_closure.join(
+            members.select(F.col("grp").alias("parent"), F.col("member").alias("mp")),
+            "parent",
+        )
+        .join(
+            members.select(F.col("grp").alias("child"), F.col("member").alias("mc")),
+            "child",
+        )
+        .select(F.col("mp").alias("parent"), F.col("mc").alias("child"))
+    )
+    return intra.unionByName(inter).unionByName(self_loops).dropDuplicates()
+
+
 # ------------------------------------------------------------------ leaf/root
 def leaf_parts(entities: DataFrame, edges: DataFrame) -> DataFrame:
     """G7: parts that are never a parent (FILTER NOT EXISTS analogue)."""

@@ -314,3 +314,100 @@ def test_connector_delivers_all_lines_with_flaky_transport(spark, sf_dir, tmp_pa
     assert len(delivered) == n_lines
     want = {r["line"] for r in lines.collect()}
     assert set(delivered) == want
+
+
+def _random_digraph(seed: int, n: int, m: int) -> list[tuple[str, str]]:
+    import random
+
+    rng = random.Random(seed)
+    return list(
+        {
+            (f"n{rng.randrange(n):03d}", f"n{rng.randrange(n):03d}")
+            for _ in range(m)
+        }
+    )
+
+
+def _tarjan_scc(edges: list[tuple[str, str]]) -> dict[str, str]:
+    """Iterative Tarjan; component label = max member id (matching the
+    coloring algorithm's root choice)."""
+    adj: dict[str, list[str]] = {}
+    nodes = set()
+    for a, b in edges:
+        nodes.update((a, b))
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index: dict[str, int] = {}
+    low: dict[str, int] = {}
+    on_stack: set[str] = set()
+    stack: list[str] = []
+    sccs: list[list[str]] = []
+    counter = [0]
+
+    def strongconnect(v0):
+        work = [(v0, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            succs = adj.get(v, [])
+            for i in range(pi, len(succs)):
+                w = succs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if not recurse:
+                if low[v] == index[v]:
+                    comp = []
+                    while True:
+                        w = stack.pop()
+                        on_stack.discard(w)
+                        comp.append(w)
+                        if w == v:
+                            break
+                    sccs.append(comp)
+                if work:
+                    parent = work[-1][0]
+                    low[parent] = min(low[parent], low[v])
+
+    for v in sorted(nodes):
+        if v not in index:
+            strongconnect(v)
+    return {v: max(comp) for comp in sccs for v in comp}
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    from kgforge import graph as g
+
+    for seed, n, m in [(7, 24, 40), (13, 18, 45)]:
+        edges = _random_digraph(seed, n, m)
+        df = spark.createDataFrame(edges, "parent string, child string")
+        got = {r.node: r.scc for r in g.strongly_connected_components(df).collect()}
+        want = _tarjan_scc(edges)
+        assert got == want, f"seed={seed}: diff={ {k: (got.get(k), want[k]) for k in want if got.get(k) != want[k]} }"
+
+
+def test_condensed_closure_matches_direct(spark):
+    """SCC-condensed closure == delta-doubling closure == Python DFS on
+    a graph with nested cycles, a self-loop, and DAG tails."""
+    from kgforge import graph as g
+
+    edges = [
+        ("a", "b"), ("b", "c"), ("c", "a"),          # 3-cycle
+        ("c", "d"), ("d", "e"), ("e", "d"),          # 2-cycle off the 3-cycle
+        ("e", "f"), ("x", "a"), ("s", "s"),          # tail in, tail out, self-loop
+        ("p", "q"), ("q", "r"),                      # separate chain
+    ] + _random_digraph(3, 15, 25)
+    df = spark.createDataFrame(edges, "parent string, child string")
+    direct = {(r.parent, r.child) for r in g.transitive_closure(df).collect()}
+    condensed = {(r.parent, r.child) for r in g.transitive_closure_condensed(df).collect()}
+    assert condensed == direct
+    assert ("s", "s") in condensed and ("a", "a") in condensed and ("d", "d") in condensed
