@@ -77,7 +77,8 @@ def deliver_ntriples(
                     lines_acc.add(len(buf))
                     buf.clear()
                     return
-                time.sleep(base_backoff_s * (2**attempt))
+                if attempt < max_retries - 1:  # no pointless sleep before the raise
+                    time.sleep(base_backoff_s * (2**attempt))
             raise RuntimeError(
                 f"delivery failed after {max_retries} attempts (batch {batch_id})"
             )

@@ -63,10 +63,13 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
-def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
-    """Exact top-k by cosine, deterministic tie-break on neighbor_id.
-    cosine_e4 (floored 1e4 scale) keeps cross-engine compares exact."""
-    ranked = cosine_pairs(queries, corpus).withColumn(
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Rank scored (query_id, neighbor_id, cosine) rows: deterministic
+    tie-break on neighbor_id; cosine_e4 (floored 1e4 scale) keeps
+    cross-engine compares exact. Shared by every ANN variant so the
+    tie-break/scaling semantics can never drift between paths (each has
+    a DuckDB oracle replaying exactly this block)."""
+    ranked = scored.withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -78,6 +81,25 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
         "rank",
         F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
     )
+
+
+def _rescore_topk(cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine re-score of candidate (query_id, neighbor_id) pairs
+    + top-k — the shared tail of both bucketed ANN paths."""
+    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
+    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
+    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    scored = (
+        cand.join(q, "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", sim.alias("cosine"))
+    )
+    return _topk(scored, k)
+
+
+def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Exact top-k by cosine (brute-force verification arm)."""
+    return _topk(cosine_pairs(queries, corpus), k)
 
 
 # ------------------------------------------------------------------ LSH ANN
@@ -101,6 +123,15 @@ def hyperplanes_quantized(
 def _quantized(col):
     """floor(x * QUANT_SCALE) as long — the engine-exact embedding form."""
     return F.transform(col, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long"))
+
+
+def _quantize_np(embs) -> np.ndarray:
+    """The numpy twin of :func:`_quantized` — every kernel that leaves
+    the JVM must quantize through this ONE function so the fixed-point
+    form can never drift between the LSH/IVF kernels and the oracles."""
+    return np.stack(
+        [np.floor(np.asarray(v, dtype=np.float64) * QUANT_SCALE).astype(np.int64) for v in embs]
+    )
 
 
 def _int_dot(a, b):
@@ -131,13 +162,7 @@ def lsh_signatures(
     # inlined 64-literal arrays) measured ~100x slower per row.
     @pandas_udf("array<string>")
     def bucket_udf(embs: pd.Series) -> pd.Series:
-        mat = np.stack(
-            [
-                np.floor(np.asarray(v, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
-                for v in embs
-            ]
-        )
-        bits = (mat @ planes_np.T > 0).astype(np.uint8)  # n x n_planes
+        bits = (_quantize_np(embs) @ planes_np.T > 0).astype(np.uint8)  # n x n_planes
         out = []
         for row in bits:
             s = "".join("1" if b else "0" for b in row)
@@ -195,28 +220,11 @@ def lsh_ann_topk(
         qs.join(cs, ["band", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        # multi-band collisions repeat a pair once per colliding band —
+        # dedup before the (more expensive) exact re-score
         .dropDuplicates()
     )
-    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id",
-        "neighbor_id",
-        "rank",
-        F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
-    )
+    return _rescore_topk(cand, queries, corpus, k)
 
 
 # ------------------------------------------------------------------ IVF ANN
@@ -250,15 +258,13 @@ def _centroid_matrix(corpus: DataFrame, n_centroids: int) -> np.ndarray:
     driver collect + closure broadcast is the standard small-dim-table
     pattern (same as the linking dictionary)."""
     rows = ivf_centroids(corpus, n_centroids).collect()
-    mat = np.stack(
-        [
-            np.floor(np.asarray(r["embedding"], dtype=np.float64) * QUANT_SCALE).astype(
-                np.int64
-            )
-            for r in sorted(rows, key=lambda r: r["centroid_id"])
-        ]
+    if not rows:
+        raise ValueError(
+            "IVF centroid pick selected no vectors (no vec_id % 13 == 5 in the corpus)"
+        )
+    return _quantize_np(
+        [r["embedding"] for r in sorted(rows, key=lambda r: r["centroid_id"])]
     )
-    return mat
 
 
 def ivf_assign(
@@ -271,13 +277,7 @@ def ivf_assign(
 
     @pandas_udf("array<int>")
     def probes_udf(embs: pd.Series) -> pd.Series:
-        mat = np.stack(
-            [
-                np.floor(np.asarray(v, dtype=np.float64) * QUANT_SCALE).astype(np.int64)
-                for v in embs
-            ]
-        )
-        dots = mat @ cents.T  # n x n_centroids
+        dots = _quantize_np(embs) @ cents.T  # n x n_centroids
         # argsort on (-dot, centroid_id): stable mergesort keeps the
         # smaller centroid_id first among equal dots
         order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
@@ -314,28 +314,13 @@ def ivf_ann_topk(
         query_probes.join(corpus_lists, "centroid_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
-        .dropDuplicates()
+        # no dedup needed (unlike LSH): each corpus vector lives in
+        # exactly one inverted list (nprobe=1 assignment) and a query's
+        # probe list has distinct centroid_ids, so a pair can arise from
+        # at most one join row — a dedup here would be a pure extra
+        # shuffle over the candidate set
     )
-    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
-    scored = (
-        cand.join(q, "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id", sim.alias("cosine"))
-    )
-    ranked = scored.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-        ),
-    )
-    return ranked.filter(F.col("rank") <= k).select(
-        "query_id",
-        "neighbor_id",
-        "rank",
-        F.floor(F.col("cosine") * 10000).cast("bigint").alias("cosine_e4"),
-    )
+    return _rescore_topk(cand, queries, corpus, k)
 
 
 def ivf_cte(source: str = "embeddings", n_centroids: int = DEFAULT_CENTROIDS) -> str:

@@ -379,7 +379,9 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> Dat
     raise ClosureNotConverged(f"star contraction not stable after {max_iterations} rounds")
 
 
-def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+def strongly_connected_components(
+    edges: DataFrame, max_iterations: int = 64, max_walk_steps: int = 1024
+) -> DataFrame:
     """(node, scc) — coloring/peeling SCC (Orzan-style), the
     condensation primitive for :func:`transitive_closure_condensed`:
 
@@ -393,11 +395,15 @@ def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) ->
       3. assign, peel, repeat.
 
     Every round assigns at least every color root, so the loop
-    terminates; worst case is O(#SCCs) rounds (a descending-id chain
-    peels one per round) — fine for BOM-shaped data whose cycles are
-    few and shallow; a production all-cases SCC would use
-    divide-and-conquer forward-backward on top of the same two
-    reachability kernels. All steps are joins/aggregates with
+    terminates; worst case is O(#SCCs) outer rounds (a descending-id
+    chain peels one per round) and O(graph depth) single-step inner
+    rounds (``max_walk_steps`` caps each propagation/walk; both raise
+    ClosureNotConverged rather than silently truncating). That profile
+    fits BOM-shaped data, whose cycles are few and shallow — for deep
+    acyclic reaches prefer the direct :func:`transitive_closure`
+    (doubling covers 2^24 path length); a production all-cases SCC
+    would use divide-and-conquer forward-backward on top of the same
+    two reachability kernels. All steps are joins/aggregates with
     per-round localCheckpoint, no driver-side graph state.
     """
     spark = edges.sparkSession
@@ -430,7 +436,7 @@ def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) ->
             )
             # 1. forward max-color fixpoint
             color = active.withColumn("color", F.col("node")).localCheckpoint(eager=True)
-            for _f in range(max_iterations * 4):
+            for _f in range(max_walk_steps):
                 pushed = (
                     ae.join(
                         color.select(
@@ -480,7 +486,7 @@ def strongly_connected_components(edges: DataFrame, max_iterations: int = 64) ->
                 .localCheckpoint(eager=True)
             )
             frontier = reached
-            for _b in range(max_iterations * 4):
+            for _b in range(max_walk_steps):
                 step = (
                     ce.join(
                         frontier.select(F.col("node").alias("child"), "scc"), "child"
@@ -713,11 +719,15 @@ def level_stack_decode(rows: DataFrame, max_level: int | None = None) -> DataFra
     return rows.groupBy("group_id").applyInPandas(decode, schema="parent string, child string")
 
 
-def level_stack_decode_window(rows: DataFrame, max_level: int) -> DataFrame:
+def level_stack_decode_window(
+    rows: DataFrame, max_level: int, attrs: tuple[str, ...] = ()
+) -> DataFrame:
     """G1 as pure window expressions (no Python): parent of a level-L row
-    is the last preceding row at level L-1. Exact when levels never jump
-    *down* by 2+ and back (no stale stack entries) — which holds for our
-    fixtures; the applyInPandas variant above is the general decoder."""
+    is the last preceding row at level L-1; any ``attrs`` columns ride
+    the child row onto the emitted edge unchanged. Exact when levels
+    never jump *down* by 2+ and back (no stale stack entries) — which
+    holds for our fixtures; the applyInPandas variant above is the
+    general decoder."""
     w = (
         Window.partitionBy("group_id")
         .orderBy("row_idx")
@@ -727,14 +737,14 @@ def level_stack_decode_window(rows: DataFrame, max_level: int) -> DataFrame:
         F.last(F.when(F.col("level") == lvl, F.col("number")), ignorenulls=True).over(w).alias(f"last_l{lvl}")
         for lvl in range(max_level)
     ]
-    df = rows.select("group_id", "row_idx", "level", "number", *lasts)
+    df = rows.select("group_id", "row_idx", "level", "number", *attrs, *lasts)
     parent = F.lit(None).cast("string")
     for lvl in range(1, max_level + 1):
         parent = F.when(F.col("level") == lvl, F.col(f"last_l{lvl - 1}")).otherwise(parent)
     return (
         df.withColumn("parent", parent)
         .filter(F.col("parent").isNotNull())
-        .select("parent", F.col("number").alias("child"))
+        .select("parent", F.col("number").alias("child"), *attrs)
     )
 
 
@@ -767,34 +777,14 @@ def level_stack_decode_usage(rows: DataFrame) -> DataFrame:
 
 
 def level_stack_decode_usage_window(rows: DataFrame, max_level: int) -> DataFrame:
-    """Usage decode as pure window expressions (no Python crossing): the
-    parent of a level-L row is the last preceding level-(L-1) row in the
-    group, and the usage attributes ride on the child row itself — no
-    stack state needed for them at all. Same stale-entry caveat as
-    :func:`level_stack_decode_window`; pytest asserts equivalence with
-    the general applyInPandas decoder on the fixture hierarchy. This is
-    the production path at 10^12 rows (one shuffle by group, whole-stage
-    codegen); the applyInPandas variant remains the arbitrary-depth
-    general decoder."""
-    w = (
-        Window.partitionBy("group_id")
-        .orderBy("row_idx")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    lasts = [
-        F.last(F.when(F.col("level") == lvl, F.col("number")), ignorenulls=True).over(w).alias(f"last_l{lvl}")
-        for lvl in range(max_level)
-    ]
-    df = rows.select(
-        "group_id", "row_idx", "level", "number", "quantity", "uom", "find_number", *lasts
-    )
-    parent = F.lit(None).cast("string")
-    for lvl in range(1, max_level + 1):
-        parent = F.when(F.col("level") == lvl, F.col(f"last_l{lvl - 1}")).otherwise(parent)
-    return (
-        df.withColumn("parent", parent)
-        .filter(F.col("parent").isNotNull() & (F.col("level") > 0))
-        .select("parent", F.col("number").alias("child"), "quantity", "uom", "find_number")
+    """Usage decode as pure window expressions: the usage attributes ride
+    on the child row itself, so this is just the window decoder carrying
+    three extra columns. No Python crossing — the production path at
+    10^12 rows (one shuffle by group, whole-stage codegen); pytest
+    asserts full-row equivalence with the general applyInPandas
+    decoder on the fixture hierarchy."""
+    return level_stack_decode_window(
+        rows, max_level, attrs=("quantity", "uom", "find_number")
     )
 
 

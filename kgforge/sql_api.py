@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from kgforge import extract, fixtures, graph, linking, materialize
 
+_WARMED: set[tuple[int, str]] = set()
+
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register transcripts/entities/edges/alternates/triples as temp views.
@@ -32,7 +34,10 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     entities = fixtures.load_entities(spark, sf_dir)
     linked = linking.link_mentions(extract.extract_mentions(transcripts), entities)
     edges = graph.bom_edges_from_linked(linked).cache()
-    edges.count()
+    key = (id(spark), sf_dir)
+    if key not in _WARMED:  # eager-populate once per session+dataset
+        edges.count()
+        _WARMED.add(key)
     triples = materialize.union_triples(
         materialize.part_triples(entities),
         materialize.bom_triples(edges),
