@@ -734,20 +734,21 @@ def q_entity_scalar_ops(spark, sf_dir):
            SELECT 'validation', 'n_rows', NULL, count(*) FROM entities_raw
            UNION ALL
            SELECT 'validation', 'n_valid_number', NULL,
-                  sum(CASE WHEN number IS NOT NULL AND number <> ''
+                  CAST(sum(CASE WHEN number IS NOT NULL AND number <> ''
                       AND NOT regexp_matches(number, '[<>:"|?*\\x00-\\x1f]') THEN 1 ELSE 0 END)
+                      AS BIGINT)
            FROM entities_raw
            UNION ALL
            SELECT 'validation', 'n_valid_name', NULL,
-                  sum(CASE WHEN name IS NOT NULL AND name <> ''
-                      AND length(name) <= 200 THEN 1 ELSE 0 END)
+                  CAST(sum(CASE WHEN name IS NOT NULL AND name <> ''
+                      AND length(name) <= 200 THEN 1 ELSE 0 END) AS BIGINT)
            FROM entities_raw
            UNION ALL
            SELECT 'state', state, NULL, count(*) FROM entities GROUP BY state
            UNION ALL
            SELECT 'fallback', 'n_fallbacks', NULL,
-                  sum(CASE WHEN ep.name IS NULL THEN 1 ELSE 0 END)
-                  + sum(CASE WHEN ec.name IS NULL THEN 1 ELSE 0 END)
+                  CAST(sum(CASE WHEN ep.name IS NULL THEN 1 ELSE 0 END)
+                  + sum(CASE WHEN ec.name IS NULL THEN 1 ELSE 0 END) AS BIGINT)
            FROM edges x
            LEFT JOIN entities ep ON ep.number = x.parent
            LEFT JOIN entities ec ON ec.number = x.child
@@ -795,8 +796,8 @@ def q_report_stats(spark, sf_dir):
     named = reports.bom_by_name(edges, entities)
     fb = named.agg(
         (
-            F.sum((F.col("parent_name") == F.col("parent")).cast("int"))
-            + F.sum((F.col("child_name") == F.col("child")).cast("int"))
+            F.sum(F.col("parent_name_missing").cast("int"))
+            + F.sum(F.col("child_name_missing").cast("int"))
         ).alias("n_fallbacks"),
         F.count("*").alias("n_edges"),
     ).selectExpr("stack(2, 'n_fallbacks', n_fallbacks, 'n_edges', n_edges) AS (key1, n)")

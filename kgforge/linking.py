@@ -138,12 +138,18 @@ def check_strict(linked: DataFrame) -> None:
 
 def enrich_number_to_name(df: DataFrame, entities: DataFrame, number_col: str) -> DataFrame:
     """J2: number -> display name with fallback to the number itself
-    (generate_bom_by_name_file :1109-1121)."""
+    (generate_bom_by_name_file :1109-1121). Also emits an explicit
+    ``{number_col}_name_missing`` flag from the join miss itself (``name
+    IS NULL`` before the coalesce) — the unmapped tally the reference
+    logs (:1113-1117) must count misses, not ``name == number`` string
+    equality, because an entity whose display name legitimately equals
+    its own number is NOT a fallback."""
     names = entities.select(
         F.col("number").alias("__n"), F.col("name").alias("__name")
     )
     return (
         df.join(F.broadcast(names), df[number_col] == F.col("__n"), "left")
         .withColumn(f"{number_col}_name", F.coalesce("__name", number_col))
+        .withColumn(f"{number_col}_name_missing", F.col("__name").isNull())
         .drop("__n", "__name")
     )

@@ -41,12 +41,13 @@ def skip_log(linked: DataFrame) -> DataFrame:
 def bom_by_name(edges: DataFrame, entities: DataFrame) -> DataFrame:
     """generate_bom_by_name_file (:1083-1121): edges re-expressed as
     display names, falling back to the raw number (J2), plus the
-    unmapped count the reference logs (:1113-1117) derivable as
-    sum(parent_name = parent)."""
+    unmapped count the reference logs (:1113-1117) carried as explicit
+    *_name_missing join-miss flags (sum them for the tally)."""
     named = enrich_number_to_name(edges, entities, "parent")
     named = enrich_number_to_name(named, entities, "child")
     return named.select(
-        F.col("parent_name"), F.col("child_name"), "parent", "child"
+        F.col("parent_name"), F.col("child_name"), "parent", "child",
+        "parent_name_missing", "child_name_missing",
     )
 
 
