@@ -131,17 +131,19 @@ def make_dictionary_detector(names=None, overlapping: bool = False, broadcast=No
         raise ValueError("pass exactly one of names / broadcast")
 
     if broadcast is not None:
+        # Spark's broadcast id is unique per broadcast for the app's
+        # lifetime; captured driver-side it rides the closure as a plain
+        # int. (id(broadcast.value) is NOT safe as a key: CPython ids are
+        # reused after GC, so in a long-lived worker a second dictionary
+        # could alias the first one's cached automaton.)
+        bc_id = broadcast._jbroadcast.id()
 
         @pandas_udf("array<string>")
         def detect(texts: pd.Series) -> pd.Series:
-            # pyspark's worker-side broadcast registry caches .value per
-            # Python worker process, so its identity is a stable
-            # process-local key for the compiled automaton
-            names_val = broadcast.value
-            bc_key = (id(names_val), overlapping)
+            bc_key = (bc_id, overlapping)
             pattern = _DETECTOR_CACHE.get(bc_key)
             if pattern is None:
-                pattern = compile_dictionary_pattern(names_val, overlapping)
+                pattern = compile_dictionary_pattern(broadcast.value, overlapping)
                 _DETECTOR_CACHE[bc_key] = pattern
             return _scan(texts, pattern, overlapping)
 
