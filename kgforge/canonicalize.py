@@ -23,12 +23,20 @@ from kgforge.schema import PART_NS
 
 
 def equivalence_edges(entities: DataFrame) -> DataFrame:
-    """Same-name equivalence pairs (undirected; one orientation kept)."""
-    a = entities.select(F.col("name").alias("name"), F.col("number").alias("parent"))
-    b = entities.select(F.col("name").alias("name"), F.col("number").alias("child"))
+    """Same-name equivalence edges as a STAR per name group: every
+    member connects to the group's minimum number (one map-side-combined
+    groupBy, no self-join). A star has exactly the same connected
+    components as the O(k²) all-pairs clique — with Zipfian-hot names
+    (thousands of entities sharing one display name at corpus scale) the
+    clique's pair explosion is quadratic in group size while the star
+    stays linear. The CC machinery downstream is unchanged and still
+    accepts arbitrary extra edge sets (alternate links, fuzzy matches).
+    """
+    reps = entities.groupBy("name").agg(F.min("number").alias("parent"))
     return (
-        a.join(b, "name")
-        .filter(F.col("parent") < F.col("child"))
+        entities.select("name", F.col("number").alias("child"))
+        .join(reps, "name")
+        .filter(F.col("parent") != F.col("child"))
         .select("parent", "child")
         .dropDuplicates()
     )

@@ -30,12 +30,41 @@ is the reference's urlopen POST with Content-Type application/n-triples.
 from __future__ import annotations
 
 import hashlib
+import json
 import time
 from typing import Callable
 
 from pyspark.sql import DataFrame
 
 Transport = Callable[[bytes, str], bool]
+
+
+def _send_with_retries(
+    payload: bytes,
+    batch_id: str,
+    transport: Transport,
+    max_retries: int,
+    base_backoff_s: float,
+    attempts_acc,
+) -> None:
+    """Shared delivery retry loop: bounded exponential backoff, then a
+    chained raise so the executor-side root cause (DNS vs 500 vs
+    serialization) survives into the task failure."""
+    last_exc: Exception | None = None
+    for attempt in range(max_retries):
+        attempts_acc.add(1)
+        try:
+            ok = transport(payload, batch_id)
+        except Exception as exc:  # noqa: BLE001 — retried, then chained
+            ok = False
+            last_exc = exc
+        if ok:
+            return
+        if attempt < max_retries - 1:  # no pointless sleep before the raise
+            time.sleep(base_backoff_s * (2**attempt))
+    raise RuntimeError(
+        f"delivery failed after {max_retries} attempts (batch {batch_id})"
+    ) from last_exc
 
 
 def deliver_ntriples(
@@ -66,22 +95,12 @@ def deliver_ntriples(
                 return
             payload = ("\n".join(buf) + "\n").encode("utf-8")
             batch_id = hashlib.sha256("\n".join(sorted(buf)).encode("utf-8")).hexdigest()[:32]
-            for attempt in range(max_retries):
-                attempts_acc.add(1)
-                try:
-                    ok = transport(payload, batch_id)
-                except Exception:
-                    ok = False
-                if ok:
-                    chunks_acc.add(1)
-                    lines_acc.add(len(buf))
-                    buf.clear()
-                    return
-                if attempt < max_retries - 1:  # no pointless sleep before the raise
-                    time.sleep(base_backoff_s * (2**attempt))
-            raise RuntimeError(
-                f"delivery failed after {max_retries} attempts (batch {batch_id})"
+            _send_with_retries(
+                payload, batch_id, transport, max_retries, base_backoff_s, attempts_acc
             )
+            chunks_acc.add(1)
+            lines_acc.add(len(buf))
+            buf.clear()
 
         for row in partition:
             buf.append(row["line"])
@@ -93,5 +112,101 @@ def deliver_ntriples(
     return {
         "chunks_delivered": chunks_acc.value,
         "lines_delivered": lines_acc.value,
+        "attempts": attempts_acc.value,
+    }
+
+
+# ------------------------------------------------------------- Cypher leg
+# The reference's second sink is a property-graph store loaded with
+# parameterized UNWIND batches (spreadsheet_loader.py:517-643
+# Neo4jClient.import_parts, :645-699 import_bom_relationships): rows are
+# chunked batch_size at a time and each chunk runs one
+# ``UNWIND $rows AS row MERGE ...`` statement. MERGE keyed on the
+# natural id makes every batch idempotent — replaying a chunk is a
+# no-op — which is exactly the at-least-once + idempotent contract the
+# N-Triples leg above relies on.
+
+PART_MERGE_STATEMENT = """\
+UNWIND $rows AS row
+MERGE (p:Part {number: row.number})
+SET p += row"""
+
+# mirror of the reference's edge MERGE (:672-679): endpoints are
+# MERGE-created as MissingPart placeholders so an edge never dangles.
+BOM_MERGE_STATEMENT = """\
+UNWIND $rows AS row
+MERGE (parent:Part {number: row.parent})
+  ON CREATE SET parent.name = row.parent, parent.partType = "MissingPart"
+MERGE (child:Part {number: row.child})
+  ON CREATE SET child.name = row.child, child.partType = "MissingPart"
+MERGE (parent)-[r:HAS_COMPONENT]->(child)"""
+
+
+def cypher_batch_payload(statement: str, rows: list[dict]) -> bytes:
+    """One UNWIND batch as a canonical JSON payload: the statement plus
+    its ``$rows`` parameter — the wire shape of a parameterized Cypher
+    request (a real transport posts it to the store's HTTP/Bolt API)."""
+    return json.dumps(
+        {"statement": statement, "parameters": {"rows": rows}},
+        sort_keys=True,
+        separators=(",", ":"),
+    ).encode("utf-8")
+
+
+def deliver_cypher_batches(
+    df: DataFrame,
+    statement: str,
+    transport: Transport,
+    batch_size: int = 1000,
+    max_retries: int = 3,
+    base_backoff_s: float = 0.05,
+) -> dict:
+    """Deliver a DataFrame as parameterized ``UNWIND $rows`` Cypher
+    batches through ``transport(payload, batch_id) -> bool``.
+
+    Executor-parallel version of the reference's driver-side batch loop
+    (spreadsheet_loader.py:604-611, :663-681): every partition chunks
+    its rows ``batch_size`` at a time, builds one statement payload per
+    chunk, and retries with bounded backoff. The ``batch_id`` is the
+    content hash of the statement + the chunk's (sorted) rows, so task
+    retries and transport replays re-deliver the same id and a
+    MERGE-based store (or an id-deduping transport) stays exactly-once.
+    Delivery stats come back through accumulators.
+    """
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    chunks_acc = sc.accumulator(0)
+    rows_acc = sc.accumulator(0)
+    attempts_acc = sc.accumulator(0)
+    columns = df.columns
+
+    def send(partition):
+        buf: list[dict] = []
+
+        def flush():
+            if not buf:
+                return
+            canon = json.dumps(
+                [statement, sorted(json.dumps(r, sort_keys=True) for r in buf)]
+            ).encode("utf-8")
+            batch_id = hashlib.sha256(canon).hexdigest()[:32]
+            payload = cypher_batch_payload(statement, buf)
+            _send_with_retries(
+                payload, batch_id, transport, max_retries, base_backoff_s, attempts_acc
+            )
+            chunks_acc.add(1)
+            rows_acc.add(len(buf))
+            buf.clear()
+
+        for row in partition:
+            buf.append({c: row[c] for c in columns})
+            if len(buf) >= batch_size:
+                flush()
+        flush()
+
+    df.foreachPartition(send)
+    return {
+        "chunks_delivered": chunks_acc.value,
+        "rows_delivered": rows_acc.value,
         "attempts": attempts_acc.value,
     }

@@ -595,14 +595,19 @@ def q_entities_json_source(spark, sf_dir):
     """S8 (scripts/generate_load_script.py:10-14): JSON parts source —
     round-trip the entity table through spark.read.json with an explicit
     schema (schema-on-read, no sniffing)."""
+    import hashlib
     import os
     import tempfile
 
     from kgforge.schema import ENTITY_SCHEMA
 
-    # stable cache path: basename of sf_dir (NOT Python hash(), which is
-    # run-unstable under PYTHONHASHSEED)
-    tag = os.path.basename(sf_dir.rstrip("/")) or "default"
+    # cache tag: digest of the FULL path (two datasets sharing a
+    # basename must not collide; Python hash() is run-unstable under
+    # PYTHONHASHSEED) + the source parquet mtime, so a regenerated
+    # fixture at the same path invalidates the dump.
+    src = os.path.join(sf_dir, "part.parquet")
+    mtime = int(os.stat(src).st_mtime) if os.path.exists(src) else 0
+    tag = hashlib.sha1(f"{os.path.abspath(sf_dir)}@{mtime}".encode()).hexdigest()[:16]
     path = os.path.join(tempfile.gettempdir(), f"kgforge_entities_json_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fixtures.load_entities(spark, sf_dir).write.mode("overwrite").json(path)

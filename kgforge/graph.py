@@ -29,7 +29,9 @@ def _fixpoint_partitions(spark, n_rows: int, rows_per_partition: int = 10_000) -
 
 
 @contextmanager
-def _constraint_propagation_off(spark, shuffle_partitions: int | None = None):
+def _constraint_propagation_off(
+    spark, shuffle_partitions: int | None = None, aqe_off: bool = True
+):
     """Loop-scoped planner confs for driver-side fixpoint iterations.
 
     - constraintPropagation off: Catalyst's Union constraint rewrite
@@ -37,16 +39,21 @@ def _constraint_propagation_off(spark, shuffle_partitions: int | None = None):
       localCheckpoint'ed plans with reused attribute ids (observed on
       Spark 4.1), and constraint propagation buys nothing inside a
       fixpoint loop.
-    - AQE off: every round is a fresh small plan over already-known
-      sizes; adaptive re-optimization between the per-round stages is
-      pure driver latency (measured ~20-30% of closure wall time at
-      sf0.1) with nothing to re-plan — joins are explicit and
-      shuffle_partitions already matches the parallelism.
+    - AQE off (``aqe_off=True``, the small-input default): every round
+      is a fresh small plan over already-known sizes; adaptive
+      re-optimization between the per-round stages is pure driver
+      latency (measured ~20-30% of closure wall time at sf0.1) with
+      nothing to re-plan. Callers whose fixpoint input is large enough
+      to use the session's full shuffle parallelism pass
+      ``aqe_off=False`` to keep AQE's skew-join splitting on hub keys —
+      at cluster scale the per-round driver latency is dwarfed by a
+      skewed reducer.
     """
     keys = {
         "spark.sql.constraintPropagation.enabled": "false",
-        "spark.sql.adaptive.enabled": "false",
     }
+    if aqe_off:
+        keys["spark.sql.adaptive.enabled"] = "false"
     if shuffle_partitions is not None:
         keys["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     prev = {k: spark.conf.get(k, "true") for k in keys}
@@ -181,16 +188,20 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     the 37 deepest pairs at sf0.1).
 
     At scale: each iteration is one shuffle join of the (shrinking)
-    delta against the closure; AQE splits skewed hub keys;
-    localCheckpoint per delta keeps lineage flat, and the closure is a
-    union of ~log(diameter) checkpointed deltas.
+    delta against the closure; localCheckpoint per delta keeps lineage
+    flat, and the closure is a union of ~log(diameter) checkpointed
+    deltas. AQE is disabled only while the input is small enough that
+    per-round adaptive re-planning costs more than it saves; once the
+    loop's shuffles use the session's full parallelism (the cluster
+    case), AQE stays on so skewed hub keys get split at runtime.
     """
     spark = edges.sparkSession
     base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
     # closure cardinality runs ~an order of magnitude past the edge
     # count on BOM-like graphs; size the loop's shuffles for that
     parts = _fixpoint_partitions(spark, base.count() * 8)
-    with _constraint_propagation_off(spark, parts):
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
         closure = base
         delta = base
         for _ in range(max_iterations):
@@ -220,7 +231,8 @@ def transitive_closure_seminaive(edges: DataFrame, max_iterations: int = 512) ->
     spark = edges.sparkSession
     base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
     parts = _fixpoint_partitions(spark, base.count() * 8)
-    with _constraint_propagation_off(spark, parts):
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
         closure = base
         frontier = base
         for i in range(max_iterations):

@@ -134,6 +134,25 @@ def test_bom_edges_direct_matches_mention_path(spark, sf_dir):
     assert direct == classic and classic
 
 
+def test_equivalence_edges_star_is_linear_in_group_size(spark):
+    """Hot-name groups: k entities sharing one display name must yield
+    k-1 star edges (member -> group-min), not the O(k²) clique, and the
+    canonical assignment must still be min(number) per name group."""
+    from kgforge import canonicalize
+
+    k = 400
+    rows = [(f"{10_000 + i}", "hot part") for i in range(k)]
+    rows += [(f"{i}", f"unique {i}") for i in range(5)]
+    ents = spark.createDataFrame(rows, "number string, name string")
+    edges = canonicalize.equivalence_edges(ents)
+    assert edges.count() == k - 1  # star, not clique (clique would be ~80k)
+    assert edges.filter(F.col("parent") != "10000").count() == 0
+    canon = canonicalize.assign_canonical_iris(ents)
+    got = {r.number: r.canonical_number for r in canon.collect()}
+    assert all(got[f"{10_000 + i}"] == "10000" for i in range(k))
+    assert all(got[f"{i}"] == f"{i}" for i in range(5))  # singletons self-represent
+
+
 def test_cc_star_matches_label_propagation_on_long_chain(spark):
     """large-star/small-star must agree with min-label propagation on a
     200-node chain — the diameter case star contraction exists for
@@ -314,6 +333,73 @@ def test_connector_delivers_all_lines_with_flaky_transport(spark, sf_dir, tmp_pa
     assert len(delivered) == n_lines
     want = {r["line"] for r in lines.collect()}
     assert set(delivered) == want
+
+
+def test_connector_cypher_batches_idempotent_under_flaky_transport(spark, sf_dir, tmp_path):
+    """K2 Cypher leg: edges ship as UNWIND $rows MERGE batches
+    (reference Neo4jClient.import_bom_relationships :645-699). Batch
+    shape: <= batch_size rows per statement payload; content-hash batch
+    ids stay stable across retries, so a store/transport that dedupes on
+    id sees every row exactly once even when every batch's first attempt
+    fails; exhausted retries chain the transport's root cause."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kgforge import connector, fixtures, graph, linking
+    from kgforge.extract import extract_mentions
+
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    edges = graph.bom_edges_from_linked(linking.link_mentions(extract_mentions(t), e))
+    n_edges = edges.count()
+    out = tmp_path / "cypher"
+    out.mkdir()
+    out_s = str(out)
+
+    def flaky_recording_transport(payload: bytes, batch_id: str) -> bool:
+        import os
+
+        marker = os.path.join(out_s, batch_id + ".attempted")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            return False
+        with open(os.path.join(out_s, batch_id + ".json"), "wb") as f:
+            f.write(payload)  # same id -> same file: replay dedupes
+        return True
+
+    stats = connector.deliver_cypher_batches(
+        edges,
+        connector.BOM_MERGE_STATEMENT,
+        flaky_recording_transport,
+        batch_size=50,
+        max_retries=3,
+    )
+    assert stats["rows_delivered"] == n_edges
+    assert stats["attempts"] >= 2 * stats["chunks_delivered"]
+    got = []
+    for p in out.glob("*.json"):
+        batch = _json.loads(p.read_text())
+        assert batch["statement"] == connector.BOM_MERGE_STATEMENT
+        rows = batch["parameters"]["rows"]
+        assert 0 < len(rows) <= 50
+        got.extend((r["parent"], r["child"]) for r in rows)
+    assert len(got) == n_edges  # no duplicate delivery across replays
+    want = {(r["parent"], r["child"]) for r in edges.collect()}
+    assert set(got) == want
+
+    # exhausted retries surface the executor-side root cause (chained)
+    def always_broken(payload: bytes, batch_id: str) -> bool:
+        raise ConnectionError("store unreachable")
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception) as exc_info:
+        connector.deliver_cypher_batches(
+            edges.limit(5), connector.PART_MERGE_STATEMENT, always_broken,
+            batch_size=5, max_retries=2, base_backoff_s=0.0,
+        )
+    assert "store unreachable" in str(exc_info.getrepr(chain=True))
 
 
 def _random_digraph(seed: int, n: int, m: int) -> list[tuple[str, str]]:
