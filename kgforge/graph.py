@@ -657,37 +657,88 @@ def part_of_prefix(entities: DataFrame, edges: DataFrame, prefix_len: int = 3) -
     return pairs.join(linked_undirected, ["member", "assembly"], "left_anti")
 
 
-def depends_on(changes: DataFrame) -> DataFrame:
-    """J7 (:289-305): for changes touching the same part, the later
-    depends on the earlier."""
+# Default lookback for the bounded (scale) variants of the pairwise
+# change relations: a later change relates only to predecessors within
+# this many days. The reference's all-pairs semantics (horizon=None) are
+# quadratic in group size — with low-cardinality keys (change_type) a
+# 100x corpus turns one hot key into a reducer-killing O(k²) group, so
+# at scale the bounded form is the one to deploy.
+DEFAULT_CHANGE_HORIZON_DAYS = 365
+
+
+def _ordered_change_pairs(
+    changes: DataFrame, key: str, horizon_days: int | None
+) -> DataFrame:
+    """All (later, earlier) pairs of changes sharing ``key`` with
+    ts_earlier < ts_later — optionally bounded to a time horizon.
+
+    horizon=None: the reference's exact all-pairs self-join (shuffle key
+    = ``key`` alone; pre-dedup intermediate is quadratic in group size).
+
+    horizon=k days: both sides are bucketed to floor(epoch_day / k) and
+    the join key becomes (key, bucket) — the earlier side is exploded to
+    its own and the NEXT bucket, so every pair within k days co-locates
+    (buckets differ by at most 1) while the shuffle key's cardinality
+    grows with the time span of the data. Group size is bounded by
+    changes-per-horizon-window instead of changes-per-key-ever, which is
+    what survives a 100x corpus.
+    """
     a = changes.select(
-        F.col("affected_number").alias("affected_number"),
-        F.col("change_id").alias("earlier"),
-        F.col("ts").alias("ts_a"),
+        key, F.col("change_id").alias("earlier"), F.col("ts").alias("ts_a")
     )
     b = changes.select(
-        F.col("affected_number").alias("affected_number"),
-        F.col("change_id").alias("later"),
-        F.col("ts").alias("ts_b"),
+        key, F.col("change_id").alias("later"), F.col("ts").alias("ts_b")
     )
+    if horizon_days is None:
+        return (
+            a.join(b, key)
+            .filter(F.col("ts_a") < F.col("ts_b"))
+            .select("later", "earlier")
+            .dropDuplicates()
+        )
+    bk_a = F.floor(F.datediff(F.col("ts_a"), F.lit("1970-01-01")) / horizon_days)
+    bk_b = F.floor(F.datediff(F.col("ts_b"), F.lit("1970-01-01")) / horizon_days)
+    # earlier side lands in its own bucket AND the next one; the later
+    # side keeps a single bucket, so each qualifying pair joins exactly
+    # once (no post-join dedup needed for the explode itself).
+    a2 = a.withColumn("bk", F.explode(F.array(bk_a, bk_a + 1)))
+    b2 = b.withColumn("bk", bk_b)
     return (
-        a.join(b, "affected_number")
-        .filter(F.col("ts_a") < F.col("ts_b"))
+        a2.join(b2, [key, "bk"])
+        .filter(
+            (F.col("ts_a") < F.col("ts_b"))
+            & (F.datediff(F.col("ts_b"), F.col("ts_a")) <= horizon_days)
+        )
         .select("later", "earlier")
         .dropDuplicates()
     )
 
 
-def related_to(changes: DataFrame, depends: DataFrame) -> DataFrame:
-    """J8 (:307-326): same change type, date-ordered, minus DEPENDS_ON."""
-    a = changes.select("change_type", F.col("change_id").alias("earlier"), F.col("ts").alias("ts_a"))
-    b = changes.select("change_type", F.col("change_id").alias("later"), F.col("ts").alias("ts_b"))
-    pairs = (
-        a.join(b, "change_type")
-        .filter(F.col("ts_a") < F.col("ts_b"))
-        .select("later", "earlier")
-        .dropDuplicates()
-    )
+def depends_on(changes: DataFrame, horizon_days: int | None = None) -> DataFrame:
+    """J7 (:289-305): for changes touching the same part, the later
+    depends on the earlier. ``horizon_days`` bounds the lookback (see
+    :func:`_ordered_change_pairs`); None reproduces the reference's
+    exact unbounded semantics — affected_number is high-cardinality, so
+    the exact form holds up longer than related_to's, but hot parts
+    (thousands of changes each) still warrant the bound at scale."""
+    return _ordered_change_pairs(changes, "affected_number", horizon_days)
+
+
+def related_to(
+    changes: DataFrame,
+    depends: DataFrame,
+    horizon_days: int | None = None,
+) -> DataFrame:
+    """J8 (:307-326): same change type, date-ordered, minus DEPENDS_ON.
+
+    ``horizon_days=None`` is the reference's exact all-pairs semantics —
+    correct, and what the gate oracle checks, but change_type has a
+    handful of values, so every change of one type lands on one reducer
+    and the pre-dedup intermediate is O(k²) in group size. At scale pass
+    a horizon (e.g. ``DEFAULT_CHANGE_HORIZON_DAYS``): the shuffle key
+    becomes (change_type, time_bucket) and group size is bounded by the
+    change rate, not the corpus age."""
+    pairs = _ordered_change_pairs(changes, "change_type", horizon_days)
     return pairs.join(depends, ["later", "earlier"], "left_anti")
 
 
@@ -797,6 +848,72 @@ def level_stack_decode_usage_window(rows: DataFrame, max_level: int) -> DataFram
     decoder on the fixture hierarchy."""
     return level_stack_decode_window(
         rows, max_level, attrs=("quantity", "uom", "find_number")
+    )
+
+
+def _level_stack_decode_stateful(rows: DataFrame, attrs: tuple[str, ...]) -> DataFrame:
+    """General stateful decoder with arbitrary pass-through ``attrs``
+    (the :func:`level_stack_decode` loop, attr columns riding the child
+    row). Exact on every input, including stale-stack shapes the window
+    form cannot express."""
+    from pyspark.sql.types import StructField, StructType
+
+    attr_fields = [rows.schema[a] for a in attrs]
+    out_schema = StructType(
+        [
+            StructField("parent", rows.schema["number"].dataType),
+            StructField("child", rows.schema["number"].dataType),
+            *attr_fields,
+        ]
+    )
+    cols = ["level", "number", *attrs]
+
+    def decode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("row_idx")
+        stack: dict[int, str] = {}
+        out = []
+        for level, number, *extra in zip(*(pdf[c] for c in cols)):
+            lvl = int(level)
+            if lvl > 0 and (lvl - 1) in stack:
+                out.append((stack[lvl - 1], number, *extra))
+            stack[lvl] = number
+            for deeper in [k for k in stack if k > lvl]:
+                del stack[deeper]
+        return pd.DataFrame(out, columns=["parent", "child", *attrs])
+
+    return rows.groupBy("group_id").applyInPandas(decode, schema=out_schema)
+
+
+def level_stack_decode_routed(
+    rows: DataFrame, max_level: int, attrs: tuple[str, ...] = ()
+) -> DataFrame:
+    """G1 decode that is both exact and JVM-fast: groups whose level
+    sequence the window form decodes exactly go through
+    :func:`level_stack_decode_window` (whole-stage codegen, no Python);
+    the rest go through the general stateful decoder.
+
+    Router predicate (one window expression): the window form can only
+    mis-attach when a row's stack parent is *stale* — the last level-L-1
+    row was cleared by a shallower row before a level-L row arrived. To
+    reach level L from below L-1 without refreshing L-1, some step must
+    jump UP by >= 2 levels, so ``level - lag(level) >= 2`` anywhere in a
+    group is a sufficient (conservative) violation flag. Clean groups —
+    in well-formed BOM exports, virtually all of them — never cross into
+    Python; a malformed export degrades that group to the exact decoder
+    instead of silently mis-attaching.
+    """
+    w = Window.partitionBy("group_id").orderBy("row_idx")
+    up2 = (F.col("level") - F.lag("level").over(w)) >= 2
+    viol = (
+        rows.withColumn("__up2", F.coalesce(up2, F.lit(False)))
+        .groupBy("group_id")
+        .agg(F.max("__up2").alias("__viol"))
+    )
+    tagged = rows.join(viol, "group_id")
+    clean = tagged.filter(~F.col("__viol")).drop("__viol")
+    dirty = tagged.filter(F.col("__viol")).drop("__viol")
+    return level_stack_decode_window(clean, max_level, attrs).unionByName(
+        _level_stack_decode_stateful(dirty, attrs)
     )
 
 

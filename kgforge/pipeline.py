@@ -95,10 +95,13 @@ def run_pipeline(
     closure_edge_mod: int | None = None,
     write_ntriples: bool = False,
     fail_after_commits: int | None = None,
+    strict: bool = False,
 ) -> dict:
     """Build + materialize; returns summary statistics (triples per
     predicate + totals, the reference's get_statistics :841-875)."""
-    build = build_graph(spark, sf_dir, strategy=strategy, closure_edge_mod=closure_edge_mod)
+    build = build_graph(
+        spark, sf_dir, strategy=strategy, strict=strict, closure_edge_mod=closure_edge_mod
+    )
     triples = build.triples.cache()
     counts = {r["pred"]: r["n"] for r in materialize.triple_counts(triples).collect()}
     total = int(sum(counts.values()))
@@ -121,16 +124,90 @@ def run_pipeline(
     return stats
 
 
-def main() -> None:  # pragma: no cover
+def main(argv: list[str] | None = None) -> None:
+    """CLI mirroring the reference's argument surface
+    (spreadsheet_loader.py main :1695-1739): the early-exit report
+    subcommands (--dump-name-index :1729, --emit-candidates :1733,
+    --generate-bom-by-name :1739) write one CSV directory and return
+    without materializing triples; --strict-names (:1708) makes the
+    linking pass fail loudly on unknown/ambiguous mentions."""
+    import argparse
     import json
-    import sys
 
+    from kgforge import reports
     from kgforge.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else None
+    p = argparse.ArgumentParser(description="kgforge KG-construction pipeline")
+    p.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.001")
+    p.add_argument("out_dir", nargs="?", default=None)
+    p.add_argument("--strategy", choices=["broadcast", "salted"], default="broadcast")
+    p.add_argument(
+        "--strict-names", action="store_true",
+        help="fail on unknown or ambiguous mentions in the linking pass",
+    )
+    p.add_argument(
+        "--dump-name-index", metavar="DIR", default=None,
+        help="write the name->number index CSV and exit",
+    )
+    p.add_argument(
+        "--emit-candidates", metavar="DIR", default=None,
+        help="write the 4-column BOM name-candidates CSV and exit",
+    )
+    p.add_argument(
+        "--generate-bom-by-name", metavar="DIR", default=None,
+        help="write the name-based BOM CSV and exit",
+    )
+    args = p.parse_args(argv)
+
     spark = get_spark("kgforge-pipeline")
-    print(json.dumps(run_pipeline(spark, sf_dir, out_dir), indent=1, default=int))
+
+    if args.dump_name_index:
+        from kgforge import fixtures as fx
+
+        entities = fx.load_entities(spark, args.sf_dir)
+        reports.name_index_report(entities).write.mode("overwrite").option(
+            "header", True
+        ).csv(args.dump_name_index)
+        print(json.dumps({"report": "name_index", "out": args.dump_name_index}))
+        return
+
+    if args.emit_candidates or args.generate_bom_by_name:
+        from kgforge import extract as ex
+        from kgforge import fixtures as fx
+
+        entities = fx.load_entities(spark, args.sf_dir)
+        transcripts = fx.load_transcripts(spark, args.sf_dir)
+        linked = linking.link_mentions(
+            ex.extract_mentions(transcripts), entities, strategy=args.strategy
+        )
+        if args.strict_names:
+            linking.check_strict(linked)
+        edges = graph.bom_edges_from_linked(linked)
+        if args.emit_candidates:
+            reports.bom_name_candidates(edges, entities).write.mode(
+                "overwrite"
+            ).option("header", True).csv(args.emit_candidates)
+            print(json.dumps({"report": "bom_name_candidates", "out": args.emit_candidates}))
+        else:
+            reports.bom_by_name(edges, entities).write.mode("overwrite").option(
+                "header", True
+            ).csv(args.generate_bom_by_name)
+            print(json.dumps({"report": "bom_by_name", "out": args.generate_bom_by_name}))
+        return
+
+    print(
+        json.dumps(
+            run_pipeline(
+                spark,
+                args.sf_dir,
+                args.out_dir,
+                strategy=args.strategy,
+                strict=args.strict_names,
+            ),
+            indent=1,
+            default=int,
+        )
+    )
 
 
 if __name__ == "__main__":  # pragma: no cover

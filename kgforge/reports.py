@@ -51,6 +51,20 @@ def bom_by_name(edges: DataFrame, entities: DataFrame) -> DataFrame:
     )
 
 
+def bom_name_candidates(edges: DataFrame, entities: DataFrame) -> DataFrame:
+    """emit_bom_name_candidates (:1320-1352): the number-based edge list
+    annotated with both endpoints' display names (number kept alongside,
+    falling back to the number when unmapped) — the reference's
+    4-column candidates CSV (:1350)."""
+    named = bom_by_name(edges, entities)
+    return named.select(
+        F.col("parent").alias("parent_number"),
+        F.col("parent_name"),
+        F.col("child").alias("child_number"),
+        F.col("child_name"),
+    )
+
+
 def write_reports(
     linked: DataFrame, entities: DataFrame, edges: DataFrame, out_dir: str
 ) -> None:

@@ -77,3 +77,77 @@ def test_versions_changes_parity(spark, sf_dir):
         ),
         sf_dir,
     )
+
+
+def test_sniff_sheet_quirks():
+    """The three reference read-path quirks (spreadsheet_loader.py:59-68):
+    preamble skip, empty-after-skip fallback, header-dup promotion."""
+    import pytest
+
+    from kgforge import sniff
+
+    data = [["1", "widget"], ["2", "gadget"]]
+    header = ["Number", "Name"]
+    banner = [["Report", None], [None, None], ["PLM", None], [None, None]]
+
+    # preamble path
+    cols, rows = sniff.sniff_sheet(banner + [header] + data)
+    assert cols == header and rows == data
+    # tiny sheet: skiprows would eat everything -> fall back to the top
+    cols, rows = sniff.sniff_sheet([header] + data[:1])
+    assert cols == header and rows == data[:1]
+    # header duplicated into the first data row under a junk header
+    cols, rows = sniff.sniff_sheet(
+        banner + [["Unnamed: 0", "Unnamed: 1"], header] + data
+    )
+    assert cols == header and rows == data
+    # required headers genuinely absent -> loud error
+    with pytest.raises(ValueError, match="required columns"):
+        sniff.sniff_sheet(banner + [["a", "b"]] + data)
+
+
+def test_resolve_edge_columns_synonyms():
+    """Synonym priority for the simple parent-child edge shape
+    (spreadsheet_loader.py:1185-1195): first match per priority list,
+    case-insensitive, original casing returned; missing side -> None."""
+    from kgforge import sniff
+
+    assert sniff.resolve_edge_columns(["Parent Number", "Child Number", "Qty"]) == (
+        "Parent Number", "Child Number",
+    )
+    # 'parent' outranks 'number'; 'component id' serves as child
+    assert sniff.resolve_edge_columns(["Number", "Parent", "Component ID"]) == (
+        "Parent", "Component ID",
+    )
+    assert sniff.resolve_edge_columns(["Parent", "Qty"]) is None
+    # one column cannot be both ends
+    assert sniff.resolve_edge_columns(["Child", "Qty", "child number"]) is None
+
+
+def test_messy_export_roundtrip_matches_clean_fixture(spark, sf_dir):
+    """load_entities_raw_messy renders the raw sheets with banner
+    preambles and a duplicated header, then must recover a table whose
+    per-sheet content and last-wins dedup winners equal the clean path's
+    exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kgforge.fixtures import ENTITY_COL_ORDER
+    from kgforge.normalize import truncate_number_col
+
+    clean = fixtures.load_entities_raw(spark, sf_dir)
+    messy = fixtures.load_entities_raw_messy(spark, sf_dir)
+    cols = ["sheet_idx", *ENTITY_COL_ORDER]
+    assert sorted(map(tuple, clean.select(cols).collect())) == sorted(
+        map(tuple, messy.select(cols).collect())
+    )
+    # last-wins dedup over the messy table == the canonical entity table
+    w = Window.partitionBy("number").orderBy(F.desc("sheet_idx"), F.desc("row_idx"))
+    deduped = (
+        messy.withColumn("number", truncate_number_col(F.col("number")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*ENTITY_COL_ORDER)
+    )
+    want = sorted(map(tuple, fixtures.load_entities(spark, sf_dir).collect()))
+    assert sorted(map(tuple, deduped.collect())) == want

@@ -39,6 +39,46 @@ def test_level_stack_window_matches_applyinpandas(spark, sf_dir):
     assert a == b
 
 
+def test_level_stack_routed_exact_on_stale_stack_groups(spark, sf_dir):
+    """The combined router must equal the exact stateful decoder even
+    when a group's level sequence has a down-jump followed by a level
+    skip (the shape the pure window form silently mis-attaches on), and
+    must still route well-formed groups through the JVM window path."""
+    # g-bad replays the stale-entry case; g-ok is a clean hierarchy.
+    rows = spark.createDataFrame(
+        [
+            ("g-bad", 0, 0, "A"), ("g-bad", 1, 1, "B"), ("g-bad", 2, 2, "C"),
+            ("g-bad", 3, 0, "D"), ("g-bad", 4, 2, "E"),
+            ("g-ok", 0, 0, "R"), ("g-ok", 1, 1, "S"), ("g-ok", 2, 2, "T"),
+            ("g-ok", 3, 1, "U"), ("g-ok", 4, 2, "V"),
+        ],
+        "group_id string, row_idx int, level int, number string",
+    )
+    want = {(r.parent, r.child) for r in graph.level_stack_decode(rows).collect()}
+    got = {
+        (r.parent, r.child)
+        for r in graph.level_stack_decode_routed(rows, max_level=2).collect()
+    }
+    assert got == want == {("A", "B"), ("B", "C"), ("R", "S"), ("S", "T"), ("R", "U"), ("U", "V")}
+    # the pure window form alone WOULD mis-attach E to stale B
+    wrong = {
+        (r.parent, r.child)
+        for r in graph.level_stack_decode_window(rows, max_level=2).collect()
+    }
+    assert ("B", "E") in wrong
+
+    # fixture hierarchy (all clean groups): router == stateful, with attrs
+    h = fixtures.load_hierarchy(spark, sf_dir)
+    a = {tuple(r) for r in graph.level_stack_decode_usage(h).dropDuplicates().collect()}
+    b = {
+        tuple(r)
+        for r in graph.level_stack_decode_routed(
+            h, max_level=2, attrs=("quantity", "uom", "find_number")
+        ).dropDuplicates().collect()
+    }
+    assert a == b
+
+
 def test_usage_window_matches_applyinpandas(spark, sf_dir):
     """The gate's JVM-only usage decode must equal the general stateful
     decoder — full rows including the carried usage attributes."""
@@ -132,6 +172,58 @@ def test_bom_edges_direct_matches_mention_path(spark, sf_dir):
     }
     direct = {(r.parent, r.child) for r in graph.bom_edges_direct(t, e).collect()}
     assert direct == classic and classic
+
+
+def test_bounded_change_relations_match_exact(spark, sf_dir):
+    """Time-bucketed related_to/depends_on (the scale path): with a
+    horizon covering the fixture's whole time span the bounded form
+    must equal the reference-exact all-pairs form; with a short horizon
+    it must equal the exact form filtered to pairs within the horizon."""
+    changes = fixtures.load_changes(spark, sf_dir)
+    dep_exact = graph.depends_on(changes)
+    exact = {(r.later, r.earlier) for r in graph.related_to(changes, dep_exact).collect()}
+
+    span_days = changes.agg(
+        F.datediff(F.max("ts"), F.min("ts")).alias("d")
+    ).collect()[0]["d"] + 1
+    wide = {
+        (r.later, r.earlier)
+        for r in graph.related_to(changes, dep_exact, horizon_days=span_days).collect()
+    }
+    assert wide == exact and exact
+
+    horizon = max(span_days // 4, 1)
+    ts = {r.change_id: r.ts for r in changes.collect()}
+    want_near = {
+        (l, e) for (l, e) in exact if (ts[l].date() - ts[e].date()).days <= horizon
+    }
+    got_near = {
+        (r.later, r.earlier)
+        for r in graph.related_to(changes, dep_exact, horizon_days=horizon).collect()
+    }
+    assert got_near == want_near
+    assert len(got_near) < len(exact)  # the bound actually bit
+
+    dep_wide = {
+        (r.later, r.earlier)
+        for r in graph.depends_on(changes, horizon_days=span_days).collect()
+    }
+    assert dep_wide == {(r.later, r.earlier) for r in dep_exact.collect()}
+
+
+def test_bounded_related_to_shuffles_on_time_bucket(spark, sf_dir):
+    """Plan shape of the scale path: the bounded self-join's shuffle key
+    must include the time bucket alongside change_type, so one hot
+    change_type can no longer collapse onto a single reducer."""
+    changes = fixtures.load_changes(spark, sf_dir)
+    bounded = graph.related_to(
+        changes, graph.depends_on(changes), horizon_days=30
+    )
+    plan = bounded._jdf.queryExecution().executedPlan().toString()
+    join_chunks = [
+        c for c in plan.split("Join")[1:] if "change_type" in c[:400] and "bk" in c[:400]
+    ]
+    assert join_chunks, f"no (change_type, bk)-keyed join in plan:\n{plan[:2000]}"
 
 
 def test_equivalence_edges_star_is_linear_in_group_size(spark):
@@ -253,6 +345,48 @@ def test_iri_encode_udf_matches_quote(spark):
     df = spark.createDataFrame([("100 SNOW",), ("a#b/c",), ("plain",)], "s string")
     got = {r[0] for r in df.select(iri_encode_udf("s")).collect()}
     assert got == {"100%20SNOW", "a%23b/c", "plain"}
+
+
+def test_cli_report_flags(sf_dir, tmp_path):
+    """The reference's early-exit CLI subcommands (main :1729-1739):
+    each flag writes its report CSV and exits without materializing
+    triples; --strict-names makes the run fail loudly (the fixture has
+    deliberate unknown mentions)."""
+    import subprocess
+    import sys as _sys
+
+    env = {**__import__("os").environ, "SPARK_GRAFT_CPUS": "4"}
+
+    def cli(*flags):
+        return subprocess.run(
+            [_sys.executable, "-m", "kgforge.pipeline", sf_dir, *flags],
+            capture_output=True, text=True, timeout=420, env=env, cwd="/root/repo",
+        )
+
+    idx_out = tmp_path / "name_index"
+    proc = cli("--dump-name-index", str(idx_out))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert '"name_index"' in proc.stdout
+    csvs = list(idx_out.glob("*.csv"))
+    assert csvs
+    header = csvs[0].read_text().splitlines()[0]
+    assert header == "name,number,n_candidates"
+
+    cand_out = tmp_path / "candidates"
+    proc = cli("--emit-candidates", str(cand_out))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = [
+        ln
+        for p in cand_out.glob("*.csv")
+        for ln in p.read_text().splitlines()
+        if ln and not ln.startswith("parent_number")
+    ]
+    assert rows and all(len(ln.split(",")) == 4 for ln in rows[:20])
+
+    # strict mode propagates check_strict's failure through the CLI
+    proc = cli("--generate-bom-by-name", str(tmp_path / "bbn"), "--strict-names")
+    assert proc.returncode != 0
+    assert "strict name resolution failed" in proc.stderr
 
 
 def test_spark_submit_pyfiles_lifecycle(tmp_path):
