@@ -370,12 +370,16 @@ def q_version_chains3(spark, sf_dir):
 def q_usage_edges(spark, sf_dir):
     """G1 stack decode carrying usage attributes (reference
     parse_part_usage :1262-1318) — subsumes the attribute-less G1 entry
-    (same decode, same emitted (parent, child)). Gated via the pure
-    window form (JVM-only scale path; ~6x faster than the Python
-    crossing at sf0.01); the general applyInPandas decoder is
-    pytest-asserted equivalent on this same fixture."""
+    (same decode, same emitted (parent, child)). Gated via the ROUTED
+    decoder: clean groups take the pure window form (JVM-only scale
+    path; ~6x faster than the Python crossing at sf0.01), and any group
+    whose level sequence the window form can't decode exactly is routed
+    to the general stateful decoder — so the gated path IS the
+    guard-railed production path."""
     rows = fixtures.load_hierarchy(spark, sf_dir)
-    return graph.level_stack_decode_usage_window(rows, max_level=2).dropDuplicates()
+    return graph.level_stack_decode_routed(
+        rows, max_level=2, attrs=("quantity", "uom", "find_number")
+    ).dropDuplicates()
 
 
 @_register(
