@@ -1,0 +1,116 @@
+"""Edge-list CSV sources (SURVEY.md §2.1 S4/S5) with sniffed shape
+routing — the reference's ``parse_bom_csv``
+(/root/reference/src/utils/spreadsheet_loader.py:1155-1205) as
+distributed reads.
+
+The reference accepts two CSV shapes and routes by header:
+
+- *hierarchical* (``Number`` + ``Level`` columns, :1161-1182): rows are
+  an indented BOM export whose parentage is ORDER-DEPENDENT — decoded
+  with the level stack;
+- *simple parent-child* (:1184-1205): two columns found by synonym
+  priority (:mod:`kgforge.sniff`), normalized, one edge per row.
+
+Scale strategy: the simple shape is a plain distributed CSV scan. The
+hierarchical shape needs per-file row ORDER, which a split CSV scan does
+not guarantee — each file is read whole (``wholetext``), split to
+(file, row_idx, line), per-line CSV-parsed JVM-side (``from_csv``), and
+decoded by :func:`kgforge.graph.level_stack_decode_routed` with the file
+as the group. One export file is one bounded sheet (the reference loads
+the whole CSV on one machine); a corpus of many exports parallelizes
+across files. Embedded newlines inside quoted cells are not supported in
+the hierarchical shape (documented limitation; the reference's exports
+never produce them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kgforge import graph, sniff
+from kgforge.normalize import normalize_number_col
+
+
+def read_bom_csv(spark: SparkSession, path: str) -> DataFrame:
+    """Read a BOM edge CSV (file, directory, or glob) into deduplicated
+    ``(parent, child)`` edges, routing by the sniffed header shape. All
+    files under one path must share one header (one export family).
+
+    Raises ``ValueError`` when neither shape matches — the caller
+    decides whether to skip the input (the reference logs and returns
+    no edges) or fail.
+    """
+    header_df = spark.read.option("header", True).csv(path)
+    columns = [c for c in header_df.columns]
+    lower = {str(c).strip().lower(): c for c in columns}
+
+    if "number" in lower and "level" in lower:
+        return _read_hierarchical(
+            spark, path, columns, lower["number"], lower["level"]
+        )
+
+    pair = sniff.resolve_edge_columns(columns)
+    if pair is None:
+        raise ValueError(
+            f"no BOM shape in header {columns}: need Number+Level or a "
+            "parent/child column pair"
+        )
+    parent_col, child_col = pair
+    edges = header_df.select(
+        normalize_number_col(F.col(parent_col)).alias("parent"),
+        normalize_number_col(F.col(child_col)).alias("child"),
+    )
+    # reference drops rows where either side is empty (:1202-1204);
+    # dedup is the importer's edge-dedup step (:1221), folded in here
+    return (
+        edges.filter((F.col("parent") != "") & (F.col("child") != ""))
+        .dropDuplicates()
+    )
+
+
+def _read_hierarchical(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    number_col: str,
+    level_col: str,
+) -> DataFrame:
+    """Order-preserving hierarchical decode: one file = one group."""
+    n_idx = columns.index(number_col)
+    l_idx = columns.index(level_col)
+    # positional schema: header casing/spacing never breaks from_csv
+    line_schema = ", ".join(f"c{i} string" for i in range(len(columns)))
+
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("group_id"), F.col("value")
+    )
+    lines = files.select(
+        "group_id",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("row_idx", "line"),
+    )
+    parsed = (
+        lines.filter((F.col("row_idx") > 0) & (F.trim(F.col("line")) != ""))
+        .select(
+            "group_id",
+            "row_idx",
+            F.from_csv(F.col("line"), line_schema).alias("r"),
+        )
+        .select(
+            "group_id",
+            "row_idx",
+            # try_cast: an unparseable level must null out (ANSI cast
+            # throws), matching the reference's try/except skip :1170-1172
+            F.col(f"r.c{l_idx}").try_cast("int").alias("level"),
+            normalize_number_col(F.col(f"r.c{n_idx}")).alias("number"),
+        )
+        # reference skips rows with an unparseable level or empty number
+        # (:1167-1174); the int cast nulls the former
+        .filter(F.col("level").isNotNull() & (F.col("number") != ""))
+    )
+    max_level = parsed.agg(F.max("level")).first()[0]
+    if max_level is None:
+        return spark.createDataFrame([], "parent string, child string")
+    return graph.level_stack_decode_routed(
+        parsed, max_level=int(max_level)
+    ).dropDuplicates()

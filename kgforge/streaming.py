@@ -137,3 +137,45 @@ def stream_triples(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_deliver_ntriples(
+    spark: SparkSession,
+    in_path: str,
+    checkpoint: str,
+    entities: DataFrame,
+    transport,
+    batch_size: int = 1000,
+    watermark: str = "1 hour",
+):
+    """Streaming graph-store delivery: per micro-batch, extract -> link
+    -> edges -> bom triples -> N-Triples lines -> the connector's
+    executor-parallel delivery leg (content-hash chunk ids, bounded
+    backoff). Returns the started query.
+
+    End-to-end semantics: the stream side is exactly-once per turn
+    (watermarked dedup + checkpointed source offsets — a replayed
+    micro-batch after a crash re-delivers the SAME content-hash chunk
+    ids), and the delivery side is at-least-once + idempotent, so an
+    id-deduping transport or a set-semantics RDF store lands each triple
+    once. This is the streaming analogue of the reference's batch POST
+    loop (spreadsheet_loader.py:1027-1038), which has no streaming
+    story at all.
+    """
+    from kgforge import connector, materialize
+
+    turns = deduped_turns(read_transcript_stream(spark, in_path), watermark)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        mentions = extract.extract_mentions(batch)
+        linked = linking.link_mentions(mentions, entities, strategy="broadcast")
+        edges = graph.bom_edges_from_linked(linked)
+        lines = materialize.ntriples_lines(materialize.bom_triples(edges))
+        connector.deliver_ntriples(lines, transport, batch_size=batch_size)
+
+    return (
+        turns.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -151,3 +151,63 @@ def test_messy_export_roundtrip_matches_clean_fixture(spark, sf_dir):
     )
     want = sorted(map(tuple, fixtures.load_entities(spark, sf_dir).collect()))
     assert sorted(map(tuple, deduped.collect())) == want
+
+
+def test_read_bom_csv_simple_shape(spark, tmp_path):
+    """Simple parent-child CSV: synonym headers resolve, numbers
+    normalize (float-formatted '12.0' -> '12'), empty sides drop,
+    duplicates collapse (reference parse_bom_csv :1184-1205 + edge
+    dedup :1221)."""
+    from kgforge import sources
+
+    p = tmp_path / "edges.csv"
+    p.write_text(
+        "Parent,Component ID,Qty\n"
+        "100,200,1\n"
+        "100,201.0,2\n"   # float-formatted child normalizes to 201
+        "100,,3\n"         # empty child drops
+        "100,200,4\n"      # duplicate edge collapses
+        "101,202,1\n"
+    )
+    got = {(r.parent, r.child) for r in sources.read_bom_csv(spark, str(p)).collect()}
+    assert got == {("100", "200"), ("100", "201"), ("101", "202")}
+
+
+def test_read_bom_csv_hierarchical_multifile(spark, tmp_path):
+    """Hierarchical Number+Level CSVs: per-file row order drives the
+    level-stack decode (one file = one group), including a stale-stack
+    sequence the window decoder alone would mis-attach; bad level rows
+    and blank numbers are skipped (reference :1161-1182)."""
+    from kgforge import sources
+
+    d = tmp_path / "bom"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "Number,Level,Name\n"
+        "A,0,root\n"
+        "B,1,x\n"
+        "C,2,y\n"
+        "D,0,z\n"
+        "E,2,stale\n"      # level-1 entry cleared by D -> no edge for E
+        "F,oops,bad\n"     # unparseable level skipped
+        ",1,blank\n"       # blank number skipped
+    )
+    (d / "b.csv").write_text(
+        "Number,Level,Name\n"
+        "X,0,root\n"
+        "Y,1,u\n"
+        "Z,1,v\n"
+    )
+    got = {(r.parent, r.child) for r in sources.read_bom_csv(spark, str(d)).collect()}
+    assert got == {("A", "B"), ("B", "C"), ("X", "Y"), ("X", "Z")}
+
+
+def test_read_bom_csv_rejects_unknown_header(spark, tmp_path):
+    import pytest
+
+    from kgforge import sources
+
+    p = tmp_path / "bad.csv"
+    p.write_text("foo,bar\n1,2\n")
+    with pytest.raises(ValueError, match="no BOM shape"):
+        sources.read_bom_csv(spark, str(p))

@@ -88,3 +88,49 @@ def test_stream_resume_is_incremental(spark, sf_dir, tmp_path):
     q2.awaitTermination(300)
     n2 = spark.read.parquet(out_dir).count()
     assert n1 == n2, "checkpointed stream must not reprocess committed files"
+
+
+def test_stream_deliver_ntriples_exactly_once(spark, sf_dir, tmp_path):
+    """Streaming delivery leg: every micro-batch's bom triples reach the
+    transport as content-hash-keyed chunks; a flaky transport (first
+    attempt per chunk fails) still lands every line exactly once on
+    disk, and the delivered set equals the batch-computed triples."""
+    from kgforge import materialize
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out = tmp_path / "delivered"
+    out.mkdir()
+    out_s = str(out)
+
+    transcripts = fixtures.load_transcripts(spark, sf_dir)
+    entities = fixtures.load_entities(spark, sf_dir)
+    transcripts.write.mode("overwrite").parquet(in_dir)
+
+    def flaky_file_transport(payload: bytes, batch_id: str) -> bool:
+        import os
+
+        marker = os.path.join(out_s, batch_id + ".attempted")
+        if not os.path.exists(marker):
+            open(marker, "w").close()
+            return False
+        with open(os.path.join(out_s, batch_id + ".nt"), "wb") as f:
+            f.write(payload)
+        return True
+
+    q = streaming.stream_deliver_ntriples(
+        spark, in_dir, ckpt, entities, flaky_file_transport, batch_size=200
+    )
+    q.awaitTermination(300)
+
+    delivered = set()
+    for p in out.glob("*.nt"):
+        delivered.update(p.read_text().splitlines())
+    edges = graph.bom_edges_from_linked(
+        linking.link_mentions(extract.extract_mentions(transcripts), entities)
+    )
+    want = {
+        r["line"]
+        for r in materialize.ntriples_lines(materialize.bom_triples(edges)).collect()
+    }
+    assert delivered == want and want
