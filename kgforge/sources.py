@@ -114,3 +114,47 @@ def _read_hierarchical(
     return graph.level_stack_decode_routed(
         parsed, max_level=int(max_level)
     ).dropDuplicates()
+
+
+# ------------------------------------------------------------ API source
+def read_api_pages(
+    spark: SparkSession,
+    fetch,
+    entity_set: str,
+    schema,
+    page_size: int = 1000,
+    params: dict | None = None,
+    start_page: int = 0,
+    max_pages: int = 100_000,
+):
+    """S9: paginated JSON-API source (the reference's OData leg,
+    scripts/windchill_odata_temporal_import.py:47-76 ``query_odata`` —
+    one ``$top``-bounded GET whose response unwraps to a row list).
+
+    ``fetch(entity_set, params) -> list[dict]`` is the pluggable HTTP
+    leg (the reference's ``session.get(...).json()['value']``); this
+    driver loops ``$skip``/``$top`` pages until a short page or
+    ``max_pages``. Pages accumulate driver-side — API ingestion is
+    inherently connector-bound; a cluster scales it by splitting the
+    keyspace across many *calls* of this reader, not by parallelizing
+    one HTTP conversation — and enter Spark as ONE ``createDataFrame``
+    with the explicit ``schema`` (schema-on-read: declared fields are
+    picked from each record, absent fields null out, extra fields
+    drop). Returns ``(DataFrame, next_page)``; persist ``next_page`` as
+    a cursor and pass it back as ``start_page`` to resume an
+    interrupted pull (the same checkpoint idea as resume.py, applied to
+    the source side).
+    """
+    names = [f.name for f in schema.fields]
+    rows: list[tuple] = []
+    page = start_page
+    while page - start_page < max_pages:
+        page_params = dict(params or {})
+        page_params["$skip"] = page * page_size
+        page_params["$top"] = page_size
+        records = fetch(entity_set, page_params)
+        rows.extend(tuple(r.get(n) for n in names) for r in records)
+        page += 1
+        if len(records) < page_size:
+            break
+    return spark.createDataFrame(rows, schema), page

@@ -211,3 +211,38 @@ def test_read_bom_csv_rejects_unknown_header(spark, tmp_path):
     p.write_text("foo,bar\n1,2\n")
     with pytest.raises(ValueError, match="no BOM shape"):
         sources.read_bom_csv(spark, str(p))
+
+
+def test_read_api_pages_paginates_and_resumes(spark, sf_dir):
+    """S9 API source: $skip/$top pagination against a fake transport
+    until the short page; schema-on-read (absent fields null, extras
+    drop); the returned cursor resumes an interrupted pull without
+    re-fetching earlier pages."""
+    from kgforge import sources
+    from kgforge.schema import ENTITY_SCHEMA
+
+    ents = fixtures.load_entities(spark, sf_dir).orderBy("number").collect()
+    records = [{**r.asDict(), "Extra": "ignored"} for r in ents]
+    calls = []
+
+    def fake_fetch(entity_set, params):
+        assert entity_set == "Parts"
+        calls.append(params["$skip"])
+        return records[params["$skip"]: params["$skip"] + params["$top"]]
+
+    df, cursor = sources.read_api_pages(
+        spark, fake_fetch, "Parts", ENTITY_SCHEMA, page_size=64
+    )
+    assert cursor == len(records) // 64 + 1
+    assert calls == [i * 64 for i in range(cursor)]
+    got = sorted(map(tuple, df.collect()))
+    want = sorted(tuple(r[f.name] for f in ENTITY_SCHEMA.fields) for r in ents)
+    assert got == want
+
+    # resume from a mid-pull cursor: only the remaining pages fetch
+    calls.clear()
+    df2, cursor2 = sources.read_api_pages(
+        spark, fake_fetch, "Parts", ENTITY_SCHEMA, page_size=64, start_page=2
+    )
+    assert cursor2 == cursor and calls[0] == 128
+    assert df2.count() == len(records) - 128
