@@ -904,12 +904,15 @@ def level_stack_decode_routed(
     """
     w = Window.partitionBy("group_id").orderBy("row_idx")
     up2 = (F.col("level") - F.lag("level").over(w)) >= 2
-    viol = (
-        rows.withColumn("__up2", F.coalesce(up2, F.lit(False)))
-        .groupBy("group_id")
-        .agg(F.max("__up2").alias("__viol"))
+    # group flag as an unordered window max: ONE shuffle by group_id,
+    # whose partitioning the downstream decode windows then reuse (a
+    # groupBy+rejoin would shuffle the rows twice)
+    tagged = rows.withColumn(
+        "__viol",
+        F.max(F.coalesce(up2, F.lit(False)).cast("int"))
+        .over(Window.partitionBy("group_id"))
+        == 1,
     )
-    tagged = rows.join(viol, "group_id")
     clean = tagged.filter(~F.col("__viol")).drop("__viol")
     dirty = tagged.filter(F.col("__viol")).drop("__viol")
     return level_stack_decode_window(clean, max_level, attrs).unionByName(
