@@ -201,3 +201,47 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3, n_bands: int =
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("doc_a", "doc_b", "hamming")
+
+
+def dedup_clusters(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Near-dup CLUSTERING: candidate pairs from any pair source (LSH
+    bands, SimHash collisions, embedding buckets) are closed into
+    connected components and each cluster elects one keeper.
+
+    Pairwise dedup alone under-deletes: near-duplication is not
+    transitive pair-by-pair (A~B, B~C but A~C may miss every band), yet
+    a training corpus wants ONE representative per duplicate *cluster*.
+    Reuses the KG engine's distributed connected-components kernel
+    (kgforge.graph.connected_components — the same star-contraction
+    machinery behind canonical IRIs), then keeps, per component, the
+    longest text with doc_id as the tiebreak (the common quality
+    heuristic; swap the ordering column for a quality score from
+    text.quality_features).
+
+    Returns (doc_id, cluster_id, keep) for every document that belongs
+    to some cluster; documents with no near-dup pair are implicitly
+    their own keepers. At 100 TB every step is the CC fixpoint's
+    bounded shuffles plus one window — no all-pairs stage is added on
+    top of the (already bucketed) pair source.
+    """
+    from pyspark.sql import Window
+
+    from kgforge import graph
+
+    edges = pairs.select(
+        F.col(pairs.columns[0]).cast("string").alias("parent"),
+        F.col(pairs.columns[1]).cast("string").alias("child"),
+    )
+    comps = graph.connected_components(edges).select(
+        F.col("node").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+    member = comps.join(documents.select("doc_id", "text"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc(F.length("text")), F.asc("doc_id")
+    )
+    return member.select(
+        "doc_id",
+        "cluster_id",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )

@@ -176,3 +176,67 @@ def test_rolling_fingerprint_stable_under_small_edit(spark):
     fps = rolling_fingerprints(pd.Series([base, base, edited]))
     assert fps[0] == fps[1]  # deterministic
     assert fps[0] != fps[2]  # edit changes the fingerprint set
+
+
+def test_dedup_clusters_close_pairs_transitively(spark, sf_dir):
+    """Cluster dedup: candidate pairs close into connected components
+    (A~B, B~C => one cluster even when the A~C pair was never emitted)
+    and each cluster keeps exactly one doc — the longest text, doc_id
+    tiebreak. Verified against a driver-side union-find on the same
+    pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # synthetic chain pairs: (i, i+1M) from clone injection plus a
+    # second hop (i+1M, i+2M) -- transitive closure must merge all three
+    base = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = base.select(
+        F.col("doc_id").alias("a"), (F.col("doc_id") + 1000000).alias("b")
+    ).unionByName(
+        base.select(
+            (F.col("doc_id") + 1000000).alias("a"),
+            (F.col("doc_id") + 2000000).alias("b"),
+        )
+    )
+    corpus = docs.unionByName(
+        base.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xx")).alias("text"),
+        )
+    ).unionByName(
+        base.select((F.col("doc_id") + 2000000).alias("doc_id"), F.col("text"))
+    )
+
+    out = dd.dedup_clusters(corpus, pairs).collect()
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs.collect():
+        ra, rb = find(r["a"]), find(r["b"])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    texts = {r["doc_id"]: r["text"] for r in corpus.collect()}
+    clusters: dict[int, list[int]] = {}
+    for d in parent:
+        clusters.setdefault(find(d), []).append(d)
+
+    got_clusters: dict[int, list[int]] = {}
+    keepers: dict[int, int] = {}
+    for r in out:
+        got_clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+        if r["keep"]:
+            assert r["cluster_id"] not in keepers  # exactly one keeper
+            keepers[r["cluster_id"]] = r["doc_id"]
+    assert sorted(map(sorted, got_clusters.values())) == sorted(
+        map(sorted, clusters.values())
+    )
+    for cid, members in got_clusters.items():
+        want_keep = min(members, key=lambda d: (-len(texts[d]), d))
+        assert keepers[cid] == want_keep
+    # every 3-chain merged into ONE cluster of size 3
+    assert all(len(m) == 3 for m in got_clusters.values())
