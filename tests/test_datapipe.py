@@ -240,3 +240,27 @@ def test_dedup_clusters_close_pairs_transitively(spark, sf_dir):
         assert keepers[cid] == want_keep
     # every 3-chain merged into ONE cluster of size 3
     assert all(len(m) == 3 for m in got_clusters.values())
+
+
+def test_resize_images_nearest_neighbor_roundtrip(spark, sf_dir):
+    """The multimodal resize op: every image row comes back as a REAL
+    decodable PNG at the target size whose pixels equal the
+    nearest-neighbor arithmetic prediction (resized[x,y] =
+    png_pixel(mid, (x*w)//W, (y*h)//H)); audio/video rows filter out."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(60)
+    media = mm.attach_media(docs)
+    out = mm.resize_images(media, out_w=3, out_h=2).collect()
+    n_images = media.filter("mime = 'image/png'").count()
+    assert len(out) == n_images > 0
+    for r in out:
+        feats = mm.decode_png(bytes(r["payload"]))
+        assert (feats["width"], feats["height"]) == (3, 2)
+        mid = r["media_id"]
+        w, h = mm.PNG_W(mid), mm.PNG_H(mid)
+        want = [
+            mm.png_pixel(mid, (x * w) // 3, (y * h) // 2)
+            for y in range(2)
+            for x in range(3)
+        ]
+        assert feats["mean_value_e3"] == (sum(want) * 1000) // 6
+        assert r["mean_value_e3"] == feats["mean_value_e3"]
