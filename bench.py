@@ -355,11 +355,22 @@ def bench_queries() -> dict[str, float]:
         lambda: sim.ivf_ann_topk(emb.filter(F.col("vec_id") % 50 == 0), emb, k=5).count(),
     )
 
+    timed(
+        "dedup_clusters",
+        lambda: dd.dedup_clusters(
+            dd.docs_with_dups(docs), dd.lsh_candidate_pairs(dd.docs_with_dups(docs))
+        ).count(),
+    )
+
     from kgforge.datapipe import multimodal as mm
 
     timed(
         "multimodal_decode",
         lambda: mm.decode_features(mm.attach_media(docs)).count(),
+    )
+    timed(
+        "multimodal_resize",
+        lambda: mm.resize_images(mm.attach_media(docs), 8, 8).count(),
     )
 
     edges.unpersist()
