@@ -112,6 +112,30 @@ def test_dictionary_detector_finds_bracketed_names(spark, sf_dir):
     t.unpersist()
 
 
+def test_dictionary_detector_jvm_engine_matches_python(spark, sf_dir):
+    """engine='jvm' (regexp_extract_all inside codegen, no Python
+    crossing) must produce exactly the pandas-UDF rows, in both plain
+    and overlapping (lookahead) modes, and its plan must contain no
+    Python eval node."""
+    t = fixtures.load_transcripts(spark, sf_dir)
+    e = fixtures.load_entities(spark, sf_dir)
+    for overlapping in (False, True):
+        py = sorted(
+            map(
+                tuple,
+                extract.detect_mentions_dictionary(
+                    t, e, overlapping=overlapping
+                ).collect(),
+            )
+        )
+        jvm_df = extract.detect_mentions_dictionary(
+            t, e, overlapping=overlapping, engine="jvm"
+        )
+        assert py == sorted(map(tuple, jvm_df.collect())) and py
+        plan = jvm_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in plan and "Arrow" not in plan
+
+
 def test_dictionary_detector_broadcast_matches_closure(spark, sf_dir):
     """Broadcast-variable dictionary shipping (the 10^7-name path) must
     produce exactly the closure-shipped detector's output."""
