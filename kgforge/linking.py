@@ -46,7 +46,10 @@ def build_name_index(entities: DataFrame) -> DataFrame:
     )
 
 
-def _classify(linked: DataFrame) -> DataFrame:
+DEFAULT_KEY_COLS = ("conv_id", "turn_idx", "slot")
+
+
+def _classify(linked: DataFrame, key_cols: tuple[str, ...]) -> DataFrame:
     status = (
         F.when(F.col("candidates").isNotNull() & (F.size("candidates") == 1), "resolved")
         .when(F.col("candidates").isNotNull(), "ambiguous")
@@ -60,9 +63,7 @@ def _classify(linked: DataFrame) -> DataFrame:
         F.col("candidates")[0],
     ).when(F.col("candidates").isNull(), F.col("known_number"))
     return linked.select(
-        "conv_id",
-        "turn_idx",
-        "slot",
+        *key_cols,
         "mention",
         status.alias("status"),
         resolved.alias("resolved_number"),
@@ -76,13 +77,17 @@ def link_mentions(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     index: DataFrame | None = None,
     numbers: DataFrame | None = None,
+    key_cols: tuple[str, ...] = DEFAULT_KEY_COLS,
 ) -> DataFrame:
-    """Resolve mention rows (conv_id, turn_idx, slot, mention) against the
-    canonical dictionary -> + (status, resolved_number).
+    """Resolve mention rows (*key_cols, mention) against the canonical
+    dictionary -> + (status, resolved_number).
 
     ``index``/``numbers`` accept prebuilt (cached) dictionary frames so
     repeated linking jobs reuse one dictionary build — on a cluster the
     broadcast is prepared once and shared across the job DAG.
+    ``key_cols`` carries the caller's row identity through unchanged —
+    transcript linking keys on (conv_id, turn_idx, slot), the name-based
+    BOM file flow keys on its edge pair.
     """
     if index is None:
         index = build_name_index(entities)
@@ -98,7 +103,7 @@ def link_mentions(
         )
         m = m.withColumn(
             "salt",
-            F.pmod(F.xxhash64("conv_id", "turn_idx", "slot"), F.lit(salt_buckets)).cast("int"),
+            F.pmod(F.xxhash64(*key_cols), F.lit(salt_buckets)).cast("int"),
         )
         joined = m.hint("shuffle_hash").join(
             salted_index,
@@ -114,7 +119,7 @@ def link_mentions(
     joined = joined.join(
         F.broadcast(numbers), joined.norm_mention == numbers.known_number, "left"
     )
-    return _classify(joined)
+    return _classify(joined, key_cols)
 
 
 def resolution_stats(linked: DataFrame) -> DataFrame:

@@ -32,6 +32,14 @@ REQUIRED_HEADERS = ("Number", "Name")
 PARENT_COLUMN_SYNONYMS = ("parent number", "parent", "number", "parent part number")
 CHILD_COLUMN_SYNONYMS = ("child number", "child", "component id", "child part number")
 
+# Column-pair candidates for the NAME-based BOM shape, in priority order
+# (reference parse_bom_csv_by_name :271-279).
+NAME_PAIR_SYNONYMS = (
+    ("parent name", "child name"),
+    ("name", "component name"),
+    ("name", "component id"),
+)
+
 DEFAULT_PREAMBLE_ROWS = 4
 
 
@@ -93,3 +101,16 @@ def resolve_edge_columns(columns: Sequence[str]) -> tuple[str, str] | None:
         # child side; a single column can't be both ends
         return None
     return parent, child
+
+
+def resolve_name_pair_columns(columns: Sequence[str]) -> tuple[str, str] | None:
+    """Pick the (parent-name, child-name) column pair for the NAME-based
+    BOM shape (reference parse_bom_csv_by_name :271-279): first synonym
+    PAIR fully present wins; original casing returned."""
+    by_lower = {}
+    for c in columns:
+        by_lower.setdefault(_cell(c).lower(), c)
+    for p, c in NAME_PAIR_SYNONYMS:
+        if p in by_lower and c in by_lower:
+            return by_lower[p], by_lower[c]
+    return None

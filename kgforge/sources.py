@@ -116,6 +116,74 @@ def _read_hierarchical(
     ).dropDuplicates()
 
 
+def read_bom_csv_by_name(
+    spark: SparkSession,
+    path: str,
+    entities: DataFrame,
+    strategy: str = "broadcast",
+    strict: bool = False,
+) -> DataFrame:
+    """S5: NAME-based BOM CSV -> resolved (parent, child) number edges.
+
+    Mirrors the reference's two-step flow: ``parse_bom_csv_by_name``
+    (:254-296 — synonym column-pair detection, in-data duplicated-header
+    drop) feeding ``resolve_edges_by_name`` (:1055-1080) — here the
+    resolution is the SAME distributed dictionary join as transcript
+    linking (:func:`kgforge.linking.link_mentions`, keyed on the edge
+    pair instead of the turn): exactly-one-candidate resolves, ambiguous
+    and unknown edges drop (or raise under ``strict``), a name that IS a
+    known number passes through, self-loops drop, edges dedup.
+    """
+    from kgforge import linking
+
+    df = spark.read.option("header", True).csv(path)
+    pair_cols = sniff.resolve_name_pair_columns(df.columns)
+    if pair_cols is None:
+        raise ValueError(
+            f"no name-based BOM shape in header {df.columns}: need one of "
+            f"{sniff.NAME_PAIR_SYNONYMS}"
+        )
+    p_col, c_col = pair_cols
+    pairs = (
+        df.select(
+            F.trim(F.col(p_col)).alias("p_name"), F.trim(F.col(c_col)).alias("c_name")
+        )
+        # reference drops a duplicated header row that leaked into the
+        # data (:264-268); distributed form: drop any row that equals
+        # the header literally
+        .filter(~((F.col("p_name") == p_col) & (F.col("c_name") == c_col)))
+        .filter((F.col("p_name") != "") & (F.col("c_name") != ""))
+        # resolution is a pure function of the pair -> dedup before the
+        # dictionary join, not after
+        .dropDuplicates()
+    )
+    mentions = pairs.selectExpr(
+        "p_name", "c_name",
+        "stack(2, 'parent', p_name, 'ref', c_name) AS (slot, mention)",
+    )
+    linked = linking.link_mentions(
+        mentions, entities, strategy=strategy, key_cols=("p_name", "c_name", "slot")
+    )
+    if strict:
+        linking.check_strict(linked)
+    per_pair = linked.groupBy("p_name", "c_name").agg(
+        F.max(
+            F.when((F.col("slot") == "parent") & (F.col("status") == "resolved"),
+                   F.col("resolved_number"))
+        ).alias("parent"),
+        F.max(
+            F.when((F.col("slot") == "ref") & (F.col("status") == "resolved"),
+                   F.col("resolved_number"))
+        ).alias("child"),
+    )
+    return (
+        per_pair.filter(F.col("parent").isNotNull() & F.col("child").isNotNull())
+        .filter(F.col("parent") != F.col("child"))
+        .select("parent", "child")
+        .dropDuplicates()
+    )
+
+
 # ------------------------------------------------------------ API source
 def read_api_pages(
     spark: SparkSession,

@@ -246,3 +246,50 @@ def test_read_api_pages_paginates_and_resumes(spark, sf_dir):
     )
     assert cursor2 == cursor and calls[0] == 128
     assert df2.count() == len(records) - 128
+
+
+def test_read_bom_csv_by_name_resolution_semantics(spark, sf_dir, tmp_path):
+    """Name-based BOM CSV flow: the distributed name resolution must
+    reproduce the reference semantics — unique name resolves, ambiguous
+    drops, unknown drops, number-as-name passes through, self-loop
+    drops, leaked duplicate header row drops; strict raises."""
+    import pytest
+
+    from kgforge import sources
+
+    ents = spark.createDataFrame(
+        [
+            ("100", "alpha"), ("200", "beta"),
+            ("300", "dup name"), ("301", "dup name"),  # ambiguous
+            ("400", "gamma"),
+        ],
+        "number string, name string",
+    )
+    p = tmp_path / "bom_names.csv"
+    p.write_text(
+        "Parent Name,Child Name\n"
+        "Parent Name,Child Name\n"      # duplicated header inside data
+        "alpha,beta\n"                   # both resolve
+        "alpha,dup name\n"               # ambiguous child -> drops
+        "alpha,nosuch\n"                 # unknown child -> drops
+        "alpha,400\n"                    # number-as-name pass-through
+        "gamma,gamma\n"                  # self-loop after resolution -> drops
+        "alpha,beta\n"                   # duplicate pair collapses
+    )
+    got = {
+        (r.parent, r.child)
+        for r in sources.read_bom_csv_by_name(spark, str(p), ents).collect()
+    }
+    assert got == {("100", "200"), ("100", "400")}
+
+    with pytest.raises(RuntimeError, match="strict name resolution failed"):
+        sources.read_bom_csv_by_name(spark, str(p), ents, strict=True)
+
+    # salted strategy must produce identical edges
+    got_salted = {
+        (r.parent, r.child)
+        for r in sources.read_bom_csv_by_name(
+            spark, str(p), ents, strategy="salted"
+        ).collect()
+    }
+    assert got_salted == got
