@@ -38,12 +38,17 @@ def build_graph(
     strategy: str = "broadcast",
     strict: bool = False,
     closure_edge_mod: int | None = None,
+    extra_edges: DataFrame | None = None,
 ) -> GraphBuild:
     """Assemble the full triple set. ``closure_edge_mod`` optionally
     restricts the transitive-closure input to a deterministic edge
     subset ((parent+child) % mod == 0) — the derived fixture graph is
     far denser than a real BOM, and an unrestricted closure over it is
-    quadratic in the entity count (SURVEY §7.4 risk 3)."""
+    quadratic in the entity count (SURVEY §7.4 risk 3).
+    ``extra_edges`` (parent, child) unions additional relationship rows
+    into the edge set before the derived families — the reference's
+    ``--bom`` CSV alongside the Excel parts (main :1698-1699), fed here
+    from :mod:`kgforge.sources`."""
     transcripts = fixtures.load_transcripts(spark, sf_dir)
     entities = fixtures.load_entities(spark, sf_dir)
     mentions = extract.extract_mentions(transcripts)
@@ -52,7 +57,12 @@ def build_graph(
         linking.check_strict(linked)
     # edges feed four downstream families -> cache once (SURVEY §4.3
     # exchange-reuse: all triple families derive from the same edges).
-    edges = graph.bom_edges_from_linked(linked).cache()
+    edges = graph.bom_edges_from_linked(linked)
+    if extra_edges is not None:
+        edges = edges.unionByName(
+            extra_edges.select("parent", "child")
+        ).dropDuplicates()
+    edges = edges.cache()
 
     if closure_edge_mod:
         # sampled subgraph: long chains, low density -> delta doubling
@@ -96,11 +106,17 @@ def run_pipeline(
     write_ntriples: bool = False,
     fail_after_commits: int | None = None,
     strict: bool = False,
+    extra_edges: DataFrame | None = None,
 ) -> dict:
     """Build + materialize; returns summary statistics (triples per
     predicate + totals, the reference's get_statistics :841-875)."""
     build = build_graph(
-        spark, sf_dir, strategy=strategy, strict=strict, closure_edge_mod=closure_edge_mod
+        spark,
+        sf_dir,
+        strategy=strategy,
+        strict=strict,
+        closure_edge_mod=closure_edge_mod,
+        extra_edges=extra_edges,
     )
     triples = build.triples.cache()
     counts = {r["pred"]: r["n"] for r in materialize.triple_counts(triples).collect()}
@@ -157,6 +173,16 @@ def main(argv: list[str] | None = None) -> None:
         "--generate-bom-by-name", metavar="DIR", default=None,
         help="write the name-based BOM CSV and exit",
     )
+    p.add_argument(
+        "--bom", metavar="CSV", default=None,
+        help="additional BOM edge CSV (number-based or hierarchical; "
+        "shape sniffed) unioned into the edge set",
+    )
+    p.add_argument(
+        "--bom-by-name", action="store_true",
+        help="treat --bom as a NAME-based CSV resolved through the "
+        "dictionary (reference --bom-by-name)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("kgforge-pipeline")
@@ -195,6 +221,22 @@ def main(argv: list[str] | None = None) -> None:
             print(json.dumps({"report": "bom_by_name", "out": args.generate_bom_by_name}))
         return
 
+    extra = None
+    if args.bom:
+        from kgforge import sources
+        from kgforge import fixtures as fx
+
+        if args.bom_by_name:
+            extra = sources.read_bom_csv_by_name(
+                spark,
+                args.bom,
+                fx.load_entities(spark, args.sf_dir),
+                strategy=args.strategy,
+                strict=args.strict_names,
+            )
+        else:
+            extra = sources.read_bom_csv(spark, args.bom)
+
     print(
         json.dumps(
             run_pipeline(
@@ -203,6 +245,7 @@ def main(argv: list[str] | None = None) -> None:
                 args.out_dir,
                 strategy=args.strategy,
                 strict=args.strict_names,
+                extra_edges=extra,
             ),
             indent=1,
             default=int,

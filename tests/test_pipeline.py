@@ -412,6 +412,19 @@ def test_cli_report_flags(sf_dir, tmp_path):
     assert proc.returncode != 0
     assert "strict name resolution failed" in proc.stderr
 
+    # --bom: extra CSV edges union into the edge set (reference --bom)
+    import json as _json
+
+    bom = tmp_path / "extra_bom.csv"
+    bom.write_text("Parent Number,Child Number\n999001,999002\n999003,999004\n")
+    base = _json.loads(cli().stdout)
+    with_bom = _json.loads(cli("--bom", str(bom)).stdout)
+    assert with_bom["n_edges"] == base["n_edges"] + 2
+    assert (
+        with_bom["per_predicate"]["urn:ontology:hasComponent"]
+        == base["per_predicate"]["urn:ontology:hasComponent"] + 2
+    )
+
 
 def test_spark_submit_pyfiles_lifecycle(tmp_path):
     """North-rule lifecycle evidence: package kgforge as a --py-files
@@ -655,3 +668,41 @@ def test_condensed_closure_matches_direct(spark):
     condensed = {(r.parent, r.child) for r in g.transitive_closure_condensed(df).collect()}
     assert condensed == direct
     assert ("s", "s") in condensed and ("a", "a") in condensed and ("d", "d") in condensed
+
+
+def test_level_stack_routed_property_random_sequences(spark):
+    """Property: on ARBITRARY level sequences (including down-jumps,
+    level skips, repeated levels, deep nesting) the routed decoder must
+    equal the exact stateful decoder. Random sequences are generated
+    with a fixed-seed RNG across many groups so both router branches
+    (clean window path and stale-stack Python path) are exercised in
+    one run."""
+    import random
+
+    rng = random.Random(20260817)
+    rows = []
+    for g in range(40):
+        n = rng.randint(1, 25)
+        lvl = 0
+        for i in range(n):
+            # mix of +1 climbs, big up-jumps, and arbitrary drops
+            r = rng.random()
+            if r < 0.45:
+                lvl = min(lvl + 1, 4)
+            elif r < 0.6:
+                lvl = min(lvl + rng.randint(2, 3), 4)  # up-jump >= 2
+            elif r < 0.85:
+                lvl = max(lvl - rng.randint(1, 3), 0)
+            # else: stay
+            rows.append((f"g{g:02d}", i, lvl, f"n{g:02d}-{i:02d}"))
+    df = spark.createDataFrame(
+        rows, "group_id string, row_idx int, level int, number string"
+    )
+    want = sorted(
+        (r.parent, r.child) for r in graph.level_stack_decode(df).collect()
+    )
+    got = sorted(
+        (r.parent, r.child)
+        for r in graph.level_stack_decode_routed(df, max_level=4).collect()
+    )
+    assert got == want and want
