@@ -76,6 +76,8 @@ def write_reports(
         f"{out_dir}/resolution_report"
     )
     skip_log(linked).write.mode("overwrite").json(f"{out_dir}/skip_log")
-    bom_by_name(edges, entities).write.mode("overwrite").option("header", True).csv(
-        f"{out_dir}/bom_by_name"
-    )
+    # CSV keeps the reference's 4-column shape; the *_name_missing
+    # flags are internal tally inputs, not part of the report contract
+    bom_by_name(edges, entities).select(
+        "parent_name", "child_name", "parent", "child"
+    ).write.mode("overwrite").option("header", True).csv(f"{out_dir}/bom_by_name")
