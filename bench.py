@@ -215,7 +215,7 @@ def run_flagship(cores: int) -> dict:
     # draws only speed that convergence (they cannot bias it below
     # truth); the faster level's laps are ~4x cheaper, so it gets the
     # extra draws. All laps are reported raw in the sidecar.
-    default_laps = "5" if cores >= 8 else "3"
+    default_laps = "4" if cores >= 8 else "3"
     laps, plan_laps = [], []
     rows = {}
     for lap in range(int(os.environ.get("KGFORGE_FLAGSHIP_LAPS", default_laps))):
