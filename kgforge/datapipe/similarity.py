@@ -294,6 +294,7 @@ def ivf_ann_topk(
     k: int = 5,
     n_centroids: int = DEFAULT_CENTROIDS,
     nprobe: int = DEFAULT_NPROBE,
+    cents: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF approximate top-k — the inverted-file scale path alongside
     LSH: corpus vectors are assigned to their nearest centroid (the
@@ -302,8 +303,11 @@ def ivf_ann_topk(
     list members are exactly re-scored. Comparisons are bounded by
     nprobe/n_centroids of the corpus instead of all-pairs; the candidate
     join shuffles on centroid_id (low-cardinality, co-located lists),
-    never on the cross product."""
-    cents = _centroid_matrix(corpus, n_centroids)
+    never on the cross product. ``cents`` accepts a pre-trained
+    (e.g. Lloyd-refined, :func:`ivf_refine_centroids`) quantized
+    centroid matrix; the default is the deterministic pick."""
+    if cents is None:
+        cents = _centroid_matrix(corpus, n_centroids)
     corpus_lists = ivf_assign(corpus, cents, nprobe=1).withColumnRenamed(
         "vec_id", "neighbor_id"
     )
@@ -431,3 +435,47 @@ qv AS (
 lsh_sigs AS (
 {union}
 )"""
+
+
+def ivf_refine_centroids(
+    corpus: DataFrame,
+    n_centroids: int = DEFAULT_CENTROIDS,
+    iterations: int = 2,
+    cents: np.ndarray | None = None,
+) -> np.ndarray:
+    """Distributed Lloyd refinement (spherical k-means) of the IVF
+    coarse quantizer — the "offline k-means training job" the
+    deterministic centroid pick defers to, expressed as joins and
+    aggregates: assign every corpus vector to its nearest centroid (one
+    Arrow int64 matmul per batch), average the assigned vectors per
+    centroid (posexplode + groupBy avg — a map-side-combined aggregate,
+    never a collect of the corpus), L2-normalize the k x dim means
+    driver-side (centroids are dictionary-sized, same pattern as the
+    linking dictionary), re-quantize, repeat. Spherical (normalized)
+    means keep the dot-product assignment objective non-decreasing;
+    empty clusters keep their previous centroid. Returns the quantized
+    centroid matrix consumed by :func:`ivf_assign` /
+    :func:`ivf_ann_topk`."""
+    if cents is None:
+        cents = _centroid_matrix(corpus, n_centroids)
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, nprobe=1)
+        rows = (
+            assigned.join(corpus.select("vec_id", "embedding"), "vec_id")
+            .select("centroid_id", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("mean_vec")
+            )
+            .collect()
+        )
+        new = cents.astype("float64") / QUANT_SCALE
+        for r in rows:
+            vec = np.array([pm["m"] for pm in r["mean_vec"]], dtype="float64")
+            norm = float(np.linalg.norm(vec))
+            if norm > 0:
+                new[r["centroid_id"]] = vec / norm
+        cents = _quantize_np([row.tolist() for row in new])
+    return cents

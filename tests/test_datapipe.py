@@ -264,3 +264,36 @@ def test_resize_images_nearest_neighbor_roundtrip(spark, sf_dir):
         ]
         assert feats["mean_value_e3"] == (sum(want) * 1000) // 6
         assert r["mean_value_e3"] == feats["mean_value_e3"]
+
+
+def test_ivf_lloyd_refinement_improves_objective_and_keeps_recall(spark, sf_dir):
+    """Distributed spherical k-means refinement of the IVF quantizer:
+    the assignment objective (mean cosine of each vector to its assigned
+    unit centroid) must not decrease, and refined-centroid IVF search
+    must still retrieve every injected exact clone at rank 1."""
+    import numpy as np
+
+    emb = sim.vecs_with_dups(_emb(spark, sf_dir))
+    init = sim._centroid_matrix(emb, 16)
+    refined = sim.ivf_refine_centroids(emb, n_centroids=16, iterations=2)
+
+    vecs = np.array([r["embedding"] for r in emb.select("embedding").collect()])
+
+    def objective(cents):
+        c = cents.astype("float64")
+        c = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
+        v = vecs / np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+        return float((v @ c.T).max(axis=1).mean())
+
+    before, after = objective(init), objective(refined)
+    assert after >= before - 1e-3, (before, after)
+
+    top = sim.ivf_ann_topk(
+        emb.filter(F.col("vec_id") >= 1000000), emb, k=1, n_centroids=16, cents=refined
+    )
+    got = {(r.query_id, r.neighbor_id) for r in top.collect()}
+    want = {
+        (r.vec_id + 1000000, r.vec_id)
+        for r in _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
+    }
+    assert want <= got
