@@ -616,6 +616,28 @@ def supersedes(entities: DataFrame) -> DataFrame:
     )
 
 
+def supersedes_chain(entities: DataFrame) -> DataFrame:
+    """J5 bounded variant: the same-name supersession order as a CHAIN —
+    each number points only to the next larger number in its name group
+    (one ``lead()`` window, O(k) edges per k-member group).
+
+    The exact pairwise form above emits O(k^2) rows for a k-member name
+    group — a Zipfian-hot display name at corpus scale lands an O(k^2)
+    *output* on one reducer. The chain carries the identical information
+    (supersession is a total order per group, so the transitive closure
+    of the chain recovers the exact pair set — pytest-pinned); the exact
+    form stays the gate-entry oracle default. Same treatment as the
+    J7/J8 horizon-bounded variants (reference
+    snowmobile_neo4j_importer.py:250-264 is pairwise in Cypher)."""
+    w = Window.partitionBy("name").orderBy("number")
+    return (
+        entities.select("name", "number")
+        .withColumn("newer", F.lead("number").over(w))
+        .filter(F.col("newer").isNotNull())
+        .select("newer", F.col("number").alias("older"))
+    )
+
+
 def part_of_prefix(entities: DataFrame, edges: DataFrame, prefix_len: int = 3) -> DataFrame:
     """J6 (snowmobile_neo4j_importer.py:266-282): (p1)-[PART_OF]->(p2)
     when ``p1.number STARTS WITH left(p2.number, 3)``, p1 != p2, and the

@@ -140,6 +140,68 @@ def run_pipeline(
     return stats
 
 
+def import_workbook(
+    spark: SparkSession,
+    excel_path: str,
+    bom_csv: str | None = None,
+    out_dir: str | None = None,
+    sheets: list[str] | None = None,
+) -> dict:
+    """End-to-end import of a real .xlsx workbook — the reference's
+    ``import_data`` flow (spreadsheet_loader.py:1355-1527) re-expressed
+    Spark-first: parts from every sheet (last-wins), BOM edges from the
+    in-workbook hierarchical sheets via the distributed level-stack
+    decode (or from ``bom_csv`` when given), reverse usedIn, transitive
+    closure for partOfAssembly, alternate + describe/document links, all
+    materialized as ONE distinct triple set (the reference posts
+    duplicate-bearing lists, but the triple store holds a set — the
+    published Snowmobile counts are distinct counts).
+
+    Returns per-predicate distinct counts + totals; the published
+    Snowmobile goldens (939 parts / 1,543 hasComponent / 4,616
+    partOfAssembly / 8 hasAlternate — docs/GRAPHDB_QUERIES.md:6-20) are
+    pinned against this function by tests/test_snowmobile_golden.py.
+    """
+    from kgforge import sources
+
+    entities = sources.read_excel_parts(spark, excel_path, sheets).cache()
+    if bom_csv:
+        edges = sources.read_bom_csv(spark, bom_csv)
+    else:
+        edges = sources.read_excel_bom_edges(spark, excel_path, sheets)
+    edges = edges.cache()
+    closure = graph.transitive_closure(edges)
+    alt = sources.read_excel_alternates(spark, excel_path)
+    desc = sources.read_excel_describe_links(spark, excel_path)
+    triples = (
+        materialize.union_triples(
+            materialize.part_triples(entities),
+            materialize.bom_triples(edges),
+            materialize.used_in_triples(edges),
+            materialize.part_of_assembly_triples(closure),
+            materialize.alternate_triples(alt),
+            materialize.describe_triples(desc),
+            materialize.document_triples(desc),
+        )
+        .dropDuplicates(["subj", "pred", "obj"])
+        .cache()
+    )
+    counts = {r["pred"]: r["n"] for r in materialize.triple_counts(triples).collect()}
+    if out_dir:
+        materialize.write_ntriples(triples, f"{out_dir}/ntriples")
+    stats = {
+        "excel": excel_path,
+        "n_parts": entities.count(),
+        "n_edges": edges.count(),
+        "total_triples": int(sum(counts.values())),
+        "per_predicate": counts,
+    }
+    triples.unpersist()
+    edges.unpersist()
+    entities.unpersist()
+    return stats
+
+
 def main(argv: list[str] | None = None) -> None:
     """CLI mirroring the reference's argument surface
     (spreadsheet_loader.py main :1695-1739): the early-exit report
@@ -183,9 +245,27 @@ def main(argv: list[str] | None = None) -> None:
         help="treat --bom as a NAME-based CSV resolved through the "
         "dictionary (reference --bom-by-name)",
     )
+    p.add_argument(
+        "--excel", metavar="XLSX", default=None,
+        help="import a real .xlsx workbook end-to-end (reference "
+        "import_data flow) instead of the fixture pipeline; sf_dir is "
+        "ignored, out_dir receives N-Triples",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("kgforge-pipeline")
+
+    if args.excel:
+        print(
+            json.dumps(
+                import_workbook(
+                    spark, args.excel, bom_csv=args.bom, out_dir=args.out_dir
+                ),
+                indent=1,
+                default=int,
+            )
+        )
+        return
 
     if args.dump_name_index:
         from kgforge import fixtures as fx
@@ -215,7 +295,12 @@ def main(argv: list[str] | None = None) -> None:
             ).option("header", True).csv(args.emit_candidates)
             print(json.dumps({"report": "bom_name_candidates", "out": args.emit_candidates}))
         else:
-            reports.bom_by_name(edges, entities).write.mode("overwrite").option(
+            # 4-column report contract (reference writes name columns
+            # only, :1107-1110); the *_name_missing flags are internal
+            # tally inputs — same projection as reports.write_reports
+            reports.bom_by_name(edges, entities).select(
+                "parent_name", "child_name", "parent", "child"
+            ).write.mode("overwrite").option(
                 "header", True
             ).csv(args.generate_bom_by_name)
             print(json.dumps({"report": "bom_by_name", "out": args.generate_bom_by_name}))

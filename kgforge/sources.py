@@ -1,14 +1,23 @@
-"""Edge-list CSV sources (SURVEY.md §2.1 S4/S5) with sniffed shape
-routing — the reference's ``parse_bom_csv``
-(/root/reference/src/utils/spreadsheet_loader.py:1155-1205) as
-distributed reads.
+"""Edge-list CSV + Excel workbook sources (SURVEY.md §2.1 S1-S7) with
+sniffed shape routing — the reference's ``parse_bom_csv``
+(/root/reference/src/utils/spreadsheet_loader.py:152-252) and
+``generate_bom_from_excel``'s in-sheet hierarchical parse (:1160-1182)
+as distributed reads.
 
 The reference accepts two CSV shapes and routes by header:
 
-- *hierarchical* (``Number`` + ``Level`` columns, :1161-1182): rows are
-  an indented BOM export whose parentage is ORDER-DEPENDENT — decoded
-  with the level stack;
-- *simple parent-child* (:1184-1205): two columns found by synonym
+- *hierarchical* (``Number`` + ``Level`` columns): rows are an indented
+  BOM export whose parentage is ORDER-DEPENDENT.  NOTE a deliberate
+  divergence: the reference's ``--bom`` CSV flow assigns children to
+  previous-level parts ROUND-ROBIN by index
+  (``_parse_hierarchical_bom_csv`` :194-252 — kept verbatim as
+  :func:`kgforge.graph.level_stack_round_robin`), while its in-Excel
+  hierarchical parse (:1160-1182) uses the order-correct LEVEL STACK.
+  The level stack is what produced the reference's published Snowmobile
+  graph (1,543 distinct hasComponent edges — reproduced by
+  tests/test_snowmobile_golden.py), so this reader decodes
+  hierarchical CSVs with the stack;
+- *simple parent-child* (:172-193): two columns found by synonym
   priority (:mod:`kgforge.sniff`), normalized, one edge per row.
 
 Scale strategy: the simple shape is a plain distributed CSV scan. The
@@ -27,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kgforge import graph, sniff
 from kgforge.normalize import normalize_number_col
@@ -182,6 +192,267 @@ def read_bom_csv_by_name(
         .select("parent", "child")
         .dropDuplicates()
     )
+
+
+# ------------------------------------------------------------ Excel (S1-S3, S6, S7)
+#
+# Workbooks are DIMENSION inputs (parts catalogs / link sheets, 10^3-10^5
+# rows) read once on the driver by the stdlib reader (kgforge.xlsx) and
+# parallelized into DataFrames; every set-level semantic (last-wins
+# overwrite, normalization, dedup, level-stack decode) runs IN SPARK so
+# the same operators serve a 10^12-row fact-side source unchanged.
+
+_PART_TYPE_TOKENS = (
+    "MechanicalPart",
+    "SoftwarePart",
+    "Variant",
+    "WTPart",
+    "BasicNode",
+    "StructureNode",
+)
+
+_PARTS_SCHEMA = (
+    "seq bigint, number string, name string, type string, source string, "
+    "view string, state string, revision string, container string, "
+    "part_type string"
+)
+
+
+def _cell_str(v) -> str | None:
+    """Reference cell-to-string semantics: missing -> None, integral
+    float -> str(int) (normalize_part_number :35-42 for numbers; the
+    metadata fields go through plain str() :99-107, where a pandas
+    float column renders '1.0' — parts sheets store these as text, so
+    the collapse only ever fires on true numeric cells)."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return str(int(v)) if v.is_integer() else str(v)
+    return str(v)
+
+
+def _excel_tables(path: str, sheets: list[str] | None):
+    from kgforge import xlsx
+
+    wb = xlsx.read_workbook(path)
+    for name in sheets or list(wb):
+        grid = wb.get(name)
+        if grid is None:
+            continue
+        t = xlsx.Table(grid, skiprows=4)
+        if t.empty or not t.columns:
+            t = xlsx.Table(grid, skiprows=0)
+        yield name, t
+
+
+def read_excel_parts(
+    spark: SparkSession, path: str, sheets: list[str] | None = None
+) -> DataFrame:
+    """S2: parts scan over every sheet of a workbook — the reference's
+    ``SpreadsheetParser.parse_parts`` (spreadsheet_loader.py:54-111) as
+    a DataFrame: sheets read with the skiprows-4-then-fallback pattern,
+    first-data-row header promotion when the header row duplicated into
+    the data (:64-70), sheets without Number+Name skipped, part_type
+    derived from the sheet name (:85-97), and the dict's LAST-WINS
+    overwrite (:98) expressed as a window over the row sequence.
+
+    Faithfully keeps the reference's quirk that an unpromoted duplicated
+    header row becomes a part numbered 'Number' — the published
+    Snowmobile count of 939 parts includes it (docs/GRAPHDB_QUERIES.md:6
+    vs 938 real parts; pinned by tests/test_snowmobile_golden.py).
+    """
+    rows: list[tuple] = []
+    seq = 0
+    for sheet_name, t in _excel_tables(path, sheets):
+        if t.rows:
+            first_str = set(map(str, t.first_row_values()))
+            req = {"Number", "Name"}
+            if req.issubset(first_str) and not req.issubset(set(map(str, t.columns))):
+                t = t.promote_first_row_header()
+        if not {"Number", "Name"}.issubset(set(map(str, t.columns))):
+            continue
+        part_type = next((tok for tok in _PART_TYPE_TOKENS if tok in sheet_name), None)
+        present = set(t.columns)
+
+        for r in t.rows:
+            def cell(col: str):
+                return _cell_str(t.get(r, col)) if col in present else None
+
+            seq += 1
+            rows.append(
+                (
+                    seq,
+                    cell("Number"),
+                    cell("Name"),
+                    cell("Type"),
+                    cell("Source"),
+                    cell("View"),
+                    cell("State"),
+                    cell("Revision"),
+                    cell("Container"),
+                    part_type,
+                )
+            )
+    df = spark.createDataFrame(rows, _PARTS_SCHEMA)
+    w = Window.partitionBy("number").orderBy(F.desc("seq"))
+    return (
+        df.filter(F.col("number").isNotNull() & (F.col("number") != ""))
+        # name falls back to the number when the cell is empty (:83)
+        .withColumn("name", F.coalesce(F.col("name"), F.col("number")))
+        .withColumn("source", F.lower(F.col("source")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "seq")
+    )
+
+
+def read_excel_bom_levels(
+    spark: SparkSession, path: str, sheets: list[str] | None = None
+) -> DataFrame:
+    """Hierarchical BOM rows from every workbook sheet with Number+Level
+    columns (the reference's in-Excel hierarchical branch,
+    generate_bom_from_excel :1160-1182, incl. its 'Action'-in-first-row
+    header promotion :1144-1148), emitted as
+    ``(group_id, row_idx, level, number)`` for the distributed
+    level-stack decode. Feed to :func:`kgforge.graph
+    .level_stack_decode_routed` (one sheet = one ordered group)."""
+    rows: list[tuple] = []
+    for sheet_name, t in _excel_tables(path, sheets):
+        if t.rows:
+            first = t.first_row_values()
+            if "Action" in str(first) or set(map(str, first)) == set(map(str, t.columns)):
+                t = t.promote_first_row_header()
+        lower = {str(c).strip().lower(): c for c in t.columns}
+        if "number" not in lower or "level" not in lower:
+            continue
+        for idx, r in enumerate(t.rows):
+            rows.append(
+                (
+                    sheet_name,
+                    idx,
+                    _cell_str(t.get(r, lower["level"])),
+                    _cell_str(t.get(r, lower["number"])),
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "group_id string, row_idx bigint, level_raw string, number string"
+    )
+    # unparseable level or empty number -> row skipped (:1167-1174);
+    # try_cast nulls the former exactly like the CSV leg above
+    return (
+        df.select(
+            "group_id",
+            "row_idx",
+            F.col("level_raw").try_cast("double").try_cast("int").alias("level"),
+            normalize_number_col(F.col("number")).alias("number"),
+        )
+        .filter(F.col("level").isNotNull() & (F.col("number") != ""))
+    )
+
+
+def read_excel_bom_edges(
+    spark: SparkSession, path: str, sheets: list[str] | None = None
+) -> DataFrame:
+    """Level-stack decode of :func:`read_excel_bom_levels` into
+    deduplicated ``(parent, child)`` edges (generate_bom_from_excel's
+    hierarchical branch + its edge dedup :1223)."""
+    levels = read_excel_bom_levels(spark, path, sheets)
+    max_level = levels.agg(F.max("level")).first()[0]
+    if max_level is None:
+        return spark.createDataFrame([], "parent string, child string")
+    return graph.level_stack_decode_routed(
+        levels, max_level=int(max_level)
+    ).dropDuplicates()
+
+
+def read_excel_alternates(
+    spark: SparkSession, path: str, sheet: str = "WTPartAlternateLink-Sheet"
+) -> DataFrame:
+    """S6: alternate/replacement links (parse_alternate_links :296-341):
+    skiprows-4 read of the link sheet, 'Action'-row header promotion,
+    Child/Replacement part number columns required (else empty result),
+    missing replacement_type defaults to 'alternate'."""
+    empty = spark.createDataFrame(
+        [], "child_number string, replacement_number string, replacement_type string"
+    )
+    for name, t in _excel_tables(path, [sheet]):
+        if t.rows and "Action" in str(t.first_row_values()):
+            t = t.promote_first_row_header()
+        if (
+            "Child Part Number" not in t.columns
+            or "Replacement Part Number" not in t.columns
+        ):
+            return empty
+        has_type = "Replacement Type" in t.columns
+        rows = [
+            (
+                _cell_str(t.get(r, "Child Part Number")),
+                _cell_str(t.get(r, "Replacement Part Number")),
+                (_cell_str(t.get(r, "Replacement Type")) if has_type else None),
+            )
+            for r in t.rows
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "child_number string, replacement_number string, replacement_type string",
+        )
+        return (
+            df.select(
+                normalize_number_col(F.col("child_number")).alias("child_number"),
+                normalize_number_col(F.col("replacement_number")).alias(
+                    "replacement_number"
+                ),
+                F.coalesce(F.trim(F.col("replacement_type")), F.lit("alternate")).alias(
+                    "replacement_type"
+                ),
+            )
+            .filter((F.col("child_number") != "") & (F.col("replacement_number") != ""))
+        )
+    return empty
+
+
+def read_excel_describe_links(
+    spark: SparkSession, path: str, sheet: str = "WTPartDescribeLink-Sheet"
+) -> DataFrame:
+    """S7: document-describes-part links (parse_describe_links
+    :342-376); absent sheet or missing required columns -> empty."""
+    schema = (
+        "document_number string, part_number string, document_revision string, "
+        "document_org string, document_container string"
+    )
+    empty = spark.createDataFrame([], schema)
+    for name, t in _excel_tables(path, [sheet]):
+        if t.rows and "Action" in str(t.first_row_values()):
+            t = t.promote_first_row_header()
+        if not {"Document Number", "Part Number"}.issubset(set(t.columns)):
+            return empty
+        present = set(t.columns)
+
+        def cell(r, col):
+            return _cell_str(t.get(r, col)) if col in present else None
+
+        rows = [
+            (
+                cell(r, "Document Number"),
+                cell(r, "Part Number"),
+                cell(r, "Document Revision"),
+                cell(r, "Document Owning Organization"),
+                cell(r, "Document Container"),
+            )
+            for r in t.rows
+        ]
+        df = spark.createDataFrame(rows, schema)
+        return (
+            df.select(
+                normalize_number_col(F.col("document_number")).alias("document_number"),
+                normalize_number_col(F.col("part_number")).alias("part_number"),
+                F.trim(F.col("document_revision")).alias("document_revision"),
+                F.trim(F.col("document_org")).alias("document_org"),
+                F.trim(F.col("document_container")).alias("document_container"),
+            )
+            .filter((F.col("document_number") != "") & (F.col("part_number") != ""))
+        )
+    return empty
 
 
 # ------------------------------------------------------------ API source

@@ -1,0 +1,239 @@
+"""Pure-stdlib .xlsx workbook reader (zipfile + xml.etree — no new deps).
+
+An ``.xlssx`` file is a zip of XML parts: ``xl/workbook.xml`` names the
+sheets, ``xl/_rels/workbook.xml.rels`` maps them to ``xl/worksheets/*.xml``,
+and ``xl/sharedStrings.xml`` interns string cell values.  This module turns
+each sheet into a rectangular grid of Python values (str / float / bool /
+None) and layers a small pandas-``read_excel``-compatible table view on top
+(``skiprows`` + header-row semantics + duplicate-column mangling) so the
+Excel-source readers in :mod:`kgforge.sources` can replicate the reference
+loader's behavior (reference: src/utils/spreadsheet_loader.py:54-151, which
+reads sheets via ``pd.read_excel(..., skiprows=4)``) without pandas'
+openpyxl dependency.
+
+Scale note: workbooks are *dimension* inputs (parts catalogs, link sheets —
+thousands of rows), read once on the driver and broadcast/parallelized into
+a DataFrame; the fact-side scale path (transcript corpora) never flows
+through here.  Dates are left as raw Excel serial floats (the reference's
+parsed columns — Number/Name/Type/Source/View/State/Revision/Container —
+are all text; documented divergence).
+"""
+
+from __future__ import annotations
+
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional, Tuple
+
+_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_RNS = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
+_PKG_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+_CELL_REF_RE = re.compile(r"([A-Z]+)(\d+)")
+
+
+def _col_index(ref: str) -> int:
+    """'A' -> 0, 'B' -> 1, ..., 'AA' -> 26."""
+    idx = 0
+    for ch in ref:
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _si_text(si: ET.Element) -> str:
+    """Concatenate the text runs of a shared-string item (skip phonetic runs)."""
+    parts: List[str] = []
+    for el in si.iter():
+        if el.tag == _NS + "t":
+            parts.append(el.text or "")
+        elif el.tag in (_NS + "rPh", _NS + "phoneticPr"):
+            # phonetic annotations are display hints, not cell content
+            for sub in list(el):
+                el.remove(sub)
+    return "".join(parts)
+
+
+def _load_shared_strings(zf: zipfile.ZipFile) -> List[str]:
+    try:
+        data = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ET.fromstring(data)
+    return [_si_text(si) for si in root.findall(_NS + "si")]
+
+
+def _cell_value(cell: ET.Element, shared: List[str]):
+    ctype = cell.get("t", "n")
+    if ctype == "inlineStr":
+        is_el = cell.find(_NS + "is")
+        return _si_text(is_el) if is_el is not None else None
+    v_el = cell.find(_NS + "v")
+    if v_el is None or v_el.text is None:
+        return None
+    raw = v_el.text
+    if ctype == "s":
+        return shared[int(raw)]
+    if ctype == "str":
+        return raw
+    if ctype == "b":
+        return raw.strip() not in ("0", "false", "FALSE")
+    if ctype == "e":
+        return None
+    # numeric: keep float (pandas reads numerics as float64 once NaN-padded;
+    # normalize_part_number handles integer-valued floats)
+    try:
+        return float(raw)
+    except ValueError:
+        return raw
+
+
+def _sheet_grid(zf: zipfile.ZipFile, member: str, shared: List[str]) -> List[List]:
+    root = ET.fromstring(zf.read(member))
+    data = root.find(_NS + "sheetData")
+    if data is None:
+        return []
+    rows: Dict[int, Dict[int, object]] = {}
+    max_col = -1
+    for row_el in data.findall(_NS + "row"):
+        r_attr = row_el.get("r")
+        r_idx = int(r_attr) - 1 if r_attr else len(rows)
+        cells: Dict[int, object] = {}
+        next_col = 0
+        for c_el in row_el.findall(_NS + "c"):
+            ref = c_el.get("r")
+            if ref:
+                m = _CELL_REF_RE.match(ref)
+                col = _col_index(m.group(1)) if m else next_col
+            else:
+                col = next_col
+            next_col = col + 1
+            val = _cell_value(c_el, shared)
+            if val is not None:
+                cells[col] = val
+                if col > max_col:
+                    max_col = col
+        if cells:
+            rows[r_idx] = cells
+    if not rows:
+        return []
+    n_rows = max(rows) + 1
+    width = max_col + 1
+    grid: List[List] = []
+    for r in range(n_rows):
+        row_cells = rows.get(r, {})
+        grid.append([row_cells.get(c) for c in range(width)])
+    return grid
+
+
+def sheet_names(path: str) -> List[str]:
+    with zipfile.ZipFile(path) as zf:
+        root = ET.fromstring(zf.read("xl/workbook.xml"))
+        sheets = root.find(_NS + "sheets")
+        return [s.get("name", "") for s in sheets.findall(_NS + "sheet")]
+
+
+def read_workbook(path: str) -> Dict[str, List[List]]:
+    """Read every sheet of an .xlsx into {sheet_name: grid-of-values}.
+
+    Grid cells are str / float / bool / None; rows are padded to the sheet's
+    max used width.  Sheet order follows the workbook's declared order.
+    """
+    with zipfile.ZipFile(path) as zf:
+        shared = _load_shared_strings(zf)
+        wb_root = ET.fromstring(zf.read("xl/workbook.xml"))
+        rels_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rel_target: Dict[str, str] = {}
+        for rel in rels_root.findall(_PKG_REL + "Relationship"):
+            target = rel.get("Target", "")
+            if target.startswith("/"):
+                target = target.lstrip("/")
+            elif not target.startswith("xl/"):
+                target = "xl/" + target
+            rel_target[rel.get("Id", "")] = target
+        out: Dict[str, List[List]] = {}
+        sheets_el = wb_root.find(_NS + "sheets")
+        for sheet in sheets_el.findall(_NS + "sheet"):
+            name = sheet.get("name", "")
+            rid = sheet.get(_RNS + "id")
+            member = rel_target.get(rid or "", "")
+            out[name] = _sheet_grid(zf, member, shared) if member else []
+        return out
+
+
+class Table:
+    """Minimal pandas-read_excel-like view over a grid: header row + data rows.
+
+    Mirrors the slice of ``pd.read_excel`` behavior the reference loader
+    relies on: ``skiprows`` drops leading grid rows, the next row becomes the
+    header (empty header cells -> ``Unnamed: {i}``, duplicate names ->
+    ``name.1`` mangling), remaining rows are data.  ``get(row, col)`` is the
+    ``row.get(col)`` equivalent (first matching mangled column).
+    """
+
+    def __init__(self, grid: List[List], skiprows: int = 0):
+        body = grid[skiprows:]
+        if not body:
+            self.columns: List[str] = []
+            self.rows: List[List] = []
+            return
+        header, data = body[0], body[1:]
+        names: List[str] = []
+        seen: Dict[str, int] = {}
+        for i, cell in enumerate(header):
+            if cell is None:
+                name = f"Unnamed: {i}"
+            elif isinstance(cell, float) and cell.is_integer():
+                name = str(int(cell))
+            else:
+                name = str(cell)
+            if name in seen:
+                seen[name] += 1
+                name = f"{name}.{seen[name]}"
+            else:
+                seen[name] = 0
+            names.append(name)
+        self.columns = names
+        width = len(names)
+        self.rows = [(r + [None] * width)[:width] for r in data]
+
+    @property
+    def empty(self) -> bool:
+        return not self.rows
+
+    def promote_first_row_header(self) -> "Table":
+        """Re-header from the first data row (pandas `df.columns = df.iloc[0]; df = df[1:]`)."""
+        clone = Table.__new__(Table)
+        promoted = Table([self.rows[0]] + self.rows[1:], skiprows=0) if self.rows else self
+        clone.columns = promoted.columns
+        clone.rows = promoted.rows
+        return clone
+
+    def col_index(self, name: str) -> Optional[int]:
+        try:
+            return self.columns.index(name)
+        except ValueError:
+            return None
+
+    def get(self, row: List, name: str):
+        idx = self.col_index(name)
+        return row[idx] if idx is not None and idx < len(row) else None
+
+    def first_row_values(self) -> List:
+        return list(self.rows[0]) if self.rows else []
+
+
+def load_table(path: str, sheet: str, skiprows: int = 4) -> Optional[Table]:
+    """Reference read pattern: try skiprows, fall back to a plain read if empty.
+
+    Mirrors spreadsheet_loader.py:59-61 — ``pd.read_excel(..., skiprows=4)``
+    then, if the frame is empty or has no columns, a re-read with no skip.
+    """
+    wb = read_workbook(path)
+    if sheet not in wb:
+        return None
+    grid = wb[sheet]
+    t = Table(grid, skiprows=skiprows)
+    if t.empty or not t.columns:
+        t = Table(grid, skiprows=0)
+    return t

@@ -235,6 +235,28 @@ def test_bounded_change_relations_match_exact(spark, sf_dir):
     assert dep_wide == {(r.later, r.earlier) for r in dep_exact.collect()}
 
 
+def test_supersedes_chain_closure_matches_exact(spark, sf_dir):
+    """Bounded J5 (the scale path): the lead()-chain emits O(k) edges
+    per same-name group whose transitive closure must recover the exact
+    pairwise supersedes set; the exact form stays the gate oracle."""
+    entities = fixtures.load_entities(spark, sf_dir)
+    exact = {(r.newer, r.older) for r in graph.supersedes(entities).collect()}
+    chain_df = graph.supersedes_chain(entities)
+    chain = {(r.newer, r.older) for r in chain_df.collect()}
+    assert chain <= exact and chain  # chain is a subset ...
+    closed = graph.transitive_closure(
+        chain_df.select(F.col("newer").alias("parent"), F.col("older").alias("child"))
+    )
+    got = {(r.parent, r.child) for r in closed.collect()}
+    assert got == exact  # ... whose closure is the whole pair set
+    # the bound actually bit: chain edges are linear in group size
+    k_sizes = (
+        entities.groupBy("name").count().filter(F.col("count") > 1).collect()
+    )
+    assert len(chain) == sum(r["count"] - 1 for r in k_sizes)
+    assert len(exact) == sum(r["count"] * (r["count"] - 1) // 2 for r in k_sizes)
+
+
 def test_bounded_related_to_shuffles_on_time_bucket(spark, sf_dir):
     """Plan shape of the scale path: the bounded self-join's shuffle key
     must include the time bucket alongside change_type, so one hot
@@ -406,6 +428,16 @@ def test_cli_report_flags(sf_dir, tmp_path):
         if ln and not ln.startswith("parent_number")
     ]
     assert rows and all(len(ln.split(",")) == 4 for ln in rows[:20])
+
+    # success path keeps the documented 4-column report contract
+    # (reference writes name columns only, :1107-1110 — not the internal
+    # *_name_missing flags)
+    bbn_out = tmp_path / "bbn_ok"
+    proc = cli("--generate-bom-by-name", str(bbn_out))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    bbn_csvs = list(bbn_out.glob("*.csv"))
+    assert bbn_csvs
+    assert bbn_csvs[0].read_text().splitlines()[0] == "parent_name,child_name,parent,child"
 
     # strict mode propagates check_strict's failure through the CLI
     proc = cli("--generate-bom-by-name", str(tmp_path / "bbn"), "--strict-names")

@@ -1,0 +1,110 @@
+"""End-to-end reproduction of the reference's PUBLISHED Snowmobile graph.
+
+The reference ships its real dataset (/root/reference/data/Snowmobile.xlsx)
+and publishes the resulting graph's counts (docs/GRAPHDB_QUERIES.md:6-20,
+docs/IMPLEMENTATION_SUMMARY.md:8-11):
+
+    939 parts * 1,543 hasComponent * 1,543 usedIn * 4,616 partOfAssembly
+    8 hasAlternate * 939 hasView/hasState/hasSource/hasRevision * 938 hasPartType
+
+This suite runs kgforge's Spark pipeline (stdlib xlsx reader -> parts scan
+with last-wins -> distributed level-stack decode -> transitive closure ->
+triple materialize -> distinct) on that exact workbook and pins every
+published number.  The triple store holds a SET, so all goldens are
+distinct counts.
+
+Two documented reconciliations:
+- the 939-part count includes the workbook's duplicated header row
+  parsed as a part numbered 'Number' (938 real parts; this is why the
+  published hasPartType count is 938 — the one part without a type is
+  '100 SNOW' from Snowmobile-Sheet, whose sheet name matches no type
+  token, while the 'Number' artifact inherits SoftwarePart last-wins);
+- the published TOTAL of 15,313 exceeds the sum of every published
+  per-predicate count plus the type/name/label triples by 92; those 92
+  sit in predicates the docs do not itemize and are not derivable from
+  the shipped workbook (likely a describe-link sheet present in the
+  snapshot that produced the total).  The pinned total here (15,221) is
+  the full distinct triple set this workbook yields; all TEN itemized
+  published counts match exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kgforge import pipeline, sources
+
+SNOWMOBILE = "/root/reference/data/Snowmobile.xlsx"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(SNOWMOBILE), reason="reference dataset not present"
+)
+
+ONT = "urn:ontology:"
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+RDFS_LABEL = "http://www.w3.org/2000/01/rdf-schema#label"
+
+
+@pytest.fixture(scope="module")
+def stats(spark):
+    return pipeline.import_workbook(spark, SNOWMOBILE)
+
+
+def test_part_count_golden(stats):
+    assert stats["n_parts"] == 939  # docs/GRAPHDB_QUERIES.md:6
+
+
+def test_relationship_goldens(stats):
+    per = stats["per_predicate"]
+    assert per[ONT + "hasComponent"] == 1543  # docs/GRAPHDB_QUERIES.md:10
+    assert per[ONT + "usedIn"] == 1543  # :11
+    assert per[ONT + "partOfAssembly"] == 4616  # :12
+    assert per[ONT + "hasAlternate"] == 8  # :13
+
+
+def test_metadata_goldens(stats):
+    per = stats["per_predicate"]
+    assert per[ONT + "hasView"] == 939  # docs/GRAPHDB_QUERIES.md:16
+    assert per[ONT + "hasState"] == 939  # :17
+    assert per[ONT + "hasPartType"] == 938  # :18
+    assert per[ONT + "hasSource"] == 939  # :19
+    assert per[ONT + "hasRevision"] == 939  # :20
+    assert per[RDF_TYPE] == 939
+    assert per[ONT + "name"] == 939
+    assert per[RDFS_LABEL] == 939
+
+
+def test_total_distinct_triples(stats):
+    # Sum of all families this workbook yields; see module docstring for
+    # the 92-triple reconciliation vs the published 15,313.
+    assert stats["total_triples"] == 15221
+
+
+def test_flagship_assembly_membership(stats, spark):
+    """docs/IMPLEMENTATION_SUMMARY.md:40 — 930 unique parts are
+    partOfAssembly '100 SNOW' (the root assembly)."""
+    edges = sources.read_excel_bom_edges(spark, SNOWMOBILE)
+    from kgforge import graph
+
+    closure = graph.transitive_closure(edges)
+    n = closure.filter(closure.parent == "100 SNOW").count()
+    assert n == 930
+
+
+def test_alternate_links_shape(spark):
+    alts = sources.read_excel_alternates(spark, SNOWMOBILE)
+    rows = alts.collect()
+    assert len(rows) == 8
+    assert all(r["replacement_type"] for r in rows)
+
+
+def test_parts_contains_flagship_and_header_artifact(spark):
+    parts = sources.read_excel_parts(spark, SNOWMOBILE)
+    flag = parts.filter(parts.number == "100 SNOW").first()
+    assert flag is not None and flag["name"] == "SNOWMOBILE MASTER"
+    assert flag["part_type"] is None  # sheet name matches no type token
+    # the reference's duplicated-header quirk, kept deliberately
+    artifact = parts.filter(parts.number == "Number").first()
+    assert artifact is not None and artifact["name"] == "Name"
