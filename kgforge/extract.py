@@ -182,13 +182,21 @@ def substring_free_names(entities: DataFrame) -> DataFrame:
     )
 
 
+# engine="auto" crossover: the JVM regexp engine wins below this many
+# dictionary names, the worker-cached Python trie automaton above it
+# (measured on the sf corpora at 8 cores; see detect_mentions_dictionary).
+# Conservative midpoint of the measured bracket [~2k jvm-faster,
+# ~20k python-faster].
+JVM_ENGINE_MAX_NAMES = 4000
+
+
 def detect_mentions_dictionary(
     transcripts: DataFrame,
     entities: DataFrame,
     names: list[str] | None = None,
     overlapping: bool = False,
     use_broadcast: bool = False,
-    engine: str = "python",
+    engine: str = "auto",
 ) -> DataFrame:
     """Dictionary mention detection over free text -> exploded mention rows.
 
@@ -199,19 +207,23 @@ def detect_mentions_dictionary(
     (once per executor) instead of inside each task's UDF closure — the
     large-dictionary path.
 
-    ``engine``: ``"python"`` (default) scans with the trie automaton in
-    an Arrow-batched pandas UDF; ``"jvm"`` evaluates the SAME trie
+    ``engine``: ``"python"`` scans with the trie automaton in an
+    Arrow-batched pandas UDF; ``"jvm"`` evaluates the SAME trie
     pattern with ``regexp_extract_all`` inside whole-stage codegen — no
     Python crossing at all. Measured crossover (sf corpora, 8 cores):
     the JVM engine is ~1.7x faster up to a few thousand names but falls
     behind the worker-cached Python automaton at ~20k names (2.35 s vs
     4.24 s over 600k 800-byte turns) — Java's backtracking NFA degrades
-    on very wide tries where CPython's ``re`` holds up. Pick "jvm" for
-    small dictionaries / UDF-restricted clusters; identical rows either
-    way (pytest-asserted).
+    on very wide tries where CPython's ``re`` holds up. ``"auto"``
+    (default) picks by dictionary size at that measured crossover
+    (:data:`JVM_ENGINE_MAX_NAMES`), so the small-dictionary fast path
+    is the default everywhere; identical rows in all three modes
+    (pytest-asserted).
     """
     if names is None:
         names = [r[0] for r in entities.select("name").distinct().collect()]
+    if engine == "auto":
+        engine = "jvm" if len(names) <= JVM_ENGINE_MAX_NAMES else "python"
     if engine == "jvm":
         pattern = compile_dictionary_pattern(names, overlapping)
         if pattern is None:

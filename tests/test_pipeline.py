@@ -116,7 +116,8 @@ def test_dictionary_detector_jvm_engine_matches_python(spark, sf_dir):
     """engine='jvm' (regexp_extract_all inside codegen, no Python
     crossing) must produce exactly the pandas-UDF rows, in both plain
     and overlapping (lookahead) modes, and its plan must contain no
-    Python eval node."""
+    Python eval node. engine='auto' (the default) must route this
+    small dictionary to the JVM fast path and produce the same rows."""
     t = fixtures.load_transcripts(spark, sf_dir)
     e = fixtures.load_entities(spark, sf_dir)
     for overlapping in (False, True):
@@ -124,7 +125,7 @@ def test_dictionary_detector_jvm_engine_matches_python(spark, sf_dir):
             map(
                 tuple,
                 extract.detect_mentions_dictionary(
-                    t, e, overlapping=overlapping
+                    t, e, overlapping=overlapping, engine="python"
                 ).collect(),
             )
         )
@@ -134,6 +135,14 @@ def test_dictionary_detector_jvm_engine_matches_python(spark, sf_dir):
         assert py == sorted(map(tuple, jvm_df.collect())) and py
         plan = jvm_df._jdf.queryExecution().executedPlan().toString()
         assert "Python" not in plan and "Arrow" not in plan
+
+        auto_df = extract.detect_mentions_dictionary(t, e, overlapping=overlapping)
+        assert py == sorted(map(tuple, auto_df.collect()))
+        # fixture dictionary is under the crossover -> auto == jvm plan
+        n_names = e.select("name").distinct().count()
+        assert n_names <= extract.JVM_ENGINE_MAX_NAMES
+        auto_plan = auto_df._jdf.queryExecution().executedPlan().toString()
+        assert "Python" not in auto_plan and "Arrow" not in auto_plan
 
 
 def test_dictionary_detector_broadcast_matches_closure(spark, sf_dir):
