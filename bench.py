@@ -395,6 +395,10 @@ def bench_queries() -> dict[str, float]:
             dd.docs_with_dups(docs), dd.lsh_candidate_pairs(dd.docs_with_dups(docs))
         ).count(),
     )
+    timed(
+        "dedup_spans",
+        lambda: dd.repeated_spans(dd.docs_with_dups(docs)).count(),
+    )
 
     from kgforge.datapipe import multimodal as mm
 

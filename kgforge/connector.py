@@ -22,9 +22,10 @@ reference's single loop. Semantics:
   accumulators (visible on the driver even though delivery runs on
   executors).
 
-No HTTP client ships in this sandbox's hot path; the pytest transport
-writes files (and injects transient failures). A real GraphDB transport
-is the reference's urlopen POST with Content-Type application/n-triples.
+:class:`HttpNtriplesTransport` is the concrete GraphDB wire leg (the
+reference's urlopen POST with Content-Type application/n-triples);
+the pytest suite drives it against a local http.server and also uses
+file-writing transports with injected transient failures.
 """
 
 from __future__ import annotations
@@ -37,6 +38,54 @@ from typing import Callable
 from pyspark.sql import DataFrame
 
 Transport = Callable[[bytes, str], bool]
+
+
+class HttpNtriplesTransport:
+    """The reference's actual wire leg: POST each chunk to a GraphDB
+    repository's statements endpoint as ``application/n-triples``
+    (GraphDBClient.post_ntriples, spreadsheet_loader.py:415-434, with
+    the same optional basic-auth header :383-390).
+
+    A module-level class (not a closure) so instances pickle into
+    executor tasks; one instance is stateless and reusable across
+    partitions. Returns False on HTTP/URL errors — the caller's retry
+    loop (:func:`_send_with_retries`) owns backoff — and lets
+    unexpected exceptions propagate to the same loop's catch."""
+
+    def __init__(
+        self,
+        base_url: str,
+        repository: str,
+        username: str | None = None,
+        password: str | None = None,
+        timeout_s: float = 30.0,
+    ):
+        self.endpoint = f"{base_url.rstrip('/')}/repositories/{repository}/statements"
+        self.timeout_s = timeout_s
+        if username and password:
+            import base64
+
+            token = base64.b64encode(f"{username}:{password}".encode()).decode()
+            self._auth = f"Basic {token}"
+        else:
+            self._auth = None
+
+    def __call__(self, payload: bytes, batch_id: str) -> bool:
+        import urllib.error
+        import urllib.request
+
+        headers = {"Content-Type": "application/n-triples"}
+        if self._auth:
+            headers["Authorization"] = self._auth
+        req = urllib.request.Request(
+            self.endpoint, data=payload, headers=headers, method="POST"
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout_s) as resp:
+                resp.read()
+            return True
+        except (urllib.error.HTTPError, urllib.error.URLError):
+            return False
 
 
 def _send_with_retries(
@@ -150,6 +199,10 @@ def cypher_batch_payload(statement: str, rows: list[dict]) -> bytes:
         {"statement": statement, "parameters": {"rows": rows}},
         sort_keys=True,
         separators=(",", ":"),
+        # timestamp/date/binary/Decimal cells must serialize, not raise
+        # TypeError inside the executor; str() is the ISO form for
+        # datetime/date and the documented wire encoding for the rest
+        default=str,
     ).encode("utf-8")
 
 
@@ -187,7 +240,7 @@ def deliver_cypher_batches(
             if not buf:
                 return
             canon = json.dumps(
-                [statement, sorted(json.dumps(r, sort_keys=True) for r in buf)]
+                [statement, sorted(json.dumps(r, sort_keys=True, default=str) for r in buf)]
             ).encode("utf-8")
             batch_id = hashlib.sha256(canon).hexdigest()[:32]
             payload = cypher_batch_payload(statement, buf)

@@ -146,6 +146,94 @@ def lsh_candidate_pairs(
     )
 
 
+# ------------------------------------------------------ substring/span dedup
+def positional_shingles(documents: DataFrame, k: int = DEFAULT_SHINGLE_K) -> DataFrame:
+    """Word-k-gram shingles WITH their token position (duplicates kept —
+    position matters), the substrate for span-level dedup. Same
+    tokenization and short-document quirk as :func:`shingles`."""
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    return documents.select(
+        "doc_id", F.posexplode(grams).alias("pos", "shingle")
+    ).filter(F.col("shingle") != "")
+
+
+def repeated_spans(
+    documents: DataFrame, k: int = DEFAULT_SHINGLE_K, min_docs: int = 2
+) -> DataFrame:
+    """Cross-document repeated-SPAN detection at n-gram granularity —
+    the training-set "dedup repeated substrings" op (the suffix-array
+    method's scalable shingle approximation): a span is a MAXIMAL run of
+    consecutive k-gram positions whose shingles each occur in >=
+    ``min_docs`` distinct documents.
+
+    Returns ``(doc_id, span_start, span_end, n_grams)`` with token
+    indices inclusive (span_end covers the last gram's final token).
+
+    Scale shape (no all-pairs, no suffix array): one groupBy(shingle)
+    (map-side-combined count-distinct, bucketed by shingle hash), one
+    equi-join back on shingle, and one per-doc window for the
+    gaps-and-islands merge — every stage is linear in corpus token
+    count; a viral shingle skews only its own hash bucket (AQE skew
+    split applies), never a pairwise blowup.
+    """
+    from pyspark.sql import Window
+
+    ps = positional_shingles(documents, k)
+    rep = (
+        ps.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("shingle")
+    )
+    marked = ps.join(rep, "shingle").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = marked.withColumn("island", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").cast("bigint").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .drop("island")
+    )
+
+
+def remove_repeated_spans(
+    documents: DataFrame, spans: DataFrame
+) -> DataFrame:
+    """Apply span-level dedup: rebuild each document's text without the
+    tokens covered by its ``spans`` rows (output of
+    :func:`repeated_spans`). Pure array expressions — the covered-index
+    set rides a per-doc array through one equi-join; no UDF, no
+    shuffle beyond the join on doc_id."""
+    covered = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence("span_start", "span_end")).alias("i"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("drop_idx"))
+    )
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(1))
+    pairs = F.zip_with(
+        toks, idx.cast("array<bigint>"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    )
+    kept = F.filter(
+        pairs, lambda s: ~F.array_contains(F.coalesce(F.col("drop_idx"), F.array().cast("array<bigint>")), s["i"])
+    )
+    return documents.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("deduped_text"),
+        F.size(F.coalesce(F.col("drop_idx"), F.array().cast("array<bigint>"))).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
 # ------------------------------------------------------------------ SimHash
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens with md5-derived token

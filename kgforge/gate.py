@@ -971,14 +971,52 @@ sizes AS (SELECT doc_id, count(*) AS n FROM doc_shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
   FROM doc_shingles a JOIN doc_shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id)
-SELECT doc_a, doc_b,
-       CAST(floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) AS BIGINT) AS jaccard_e6
+  GROUP BY a.doc_id, b.doc_id),
+pos_shingles AS (
+  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS shingle
+  FROM (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM docs_plus),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS i)
+  WHERE array_to_string(toks[i:i+2], ' ') <> ''),
+rep AS (
+  SELECT shingle FROM pos_shingles GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 2),
+span_islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pos_shingles JOIN rep USING (shingle))
+SELECT 'jaccard' AS kind, doc_a AS a, doc_b AS b,
+       CAST(floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) AS BIGINT) AS c,
+       CAST(-1 AS BIGINT) AS d
 FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
-WHERE floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) >= 800000""",
+WHERE floor(n_shared * 1000000.0 / (sa.n + sb.n - n_shared)) >= 800000
+UNION ALL
+SELECT 'span' AS kind, doc_id AS a, CAST(min(pos) AS BIGINT) AS b,
+       CAST(max(pos) + 2 AS BIGINT) AS c, count(*) AS d
+FROM span_islands GROUP BY doc_id, island""",
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    return dd.jaccard_pairs(dd.docs_with_dups(_documents(spark, sf_dir)))
+    """kind='jaccard': exact n-gram Jaccard near-dup pairs (a=doc_a,
+    b=doc_b, c=jaccard_e6, d=-1); kind='span': substring-level dedup —
+    maximal cross-document repeated spans at k-gram granularity
+    (a=doc_id, b=span_start, c=span_end, d=n_grams), the suffix-array
+    method's scalable shingle form (bucketed by shingle hash, no
+    all-pairs; see datapipe.dedup.repeated_spans)."""
+    docs = dd.docs_with_dups(_documents(spark, sf_dir))
+    jac = dd.jaccard_pairs(docs).select(
+        F.lit("jaccard").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("jaccard_e6").alias("c"),
+        F.lit(-1).cast("bigint").alias("d"),
+    )
+    spans = dd.repeated_spans(docs).select(
+        F.lit("span").alias("kind"),
+        F.col("doc_id").alias("a"),
+        F.col("span_start").alias("b"),
+        F.col("span_end").alias("c"),
+        F.col("n_grams").alias("d"),
+    )
+    return jac.unionByName(spans)
 
 
 @_register(

@@ -919,19 +919,24 @@ def level_stack_decode_routed(
     row was cleared by a shallower row before a level-L row arrived. To
     reach level L from below L-1 without refreshing L-1, some step must
     jump UP by >= 2 levels, so ``level - lag(level) >= 2`` anywhere in a
-    group is a sufficient (conservative) violation flag. Clean groups —
-    in well-formed BOM exports, virtually all of them — never cross into
-    Python; a malformed export degrades that group to the exact decoder
-    instead of silently mis-attaching.
+    group is a sufficient (conservative) violation flag. A group holding
+    any ``level > max_level`` row is ALSO flagged — the window form
+    enumerates parent slots only up to ``max_level``, so an undersized
+    caller value would silently drop that group's deep edges; routing it
+    to the stateful decoder keeps output independent of the caller's
+    bound. Clean groups — in well-formed BOM exports, virtually all of
+    them — never cross into Python; a malformed export degrades that
+    group to the exact decoder instead of silently mis-attaching.
     """
     w = Window.partitionBy("group_id").orderBy("row_idx")
     up2 = (F.col("level") - F.lag("level").over(w)) >= 2
+    too_deep = F.col("level") > max_level
     # group flag as an unordered window max: ONE shuffle by group_id,
     # whose partitioning the downstream decode windows then reuse (a
     # groupBy+rejoin would shuffle the rows twice)
     tagged = rows.withColumn(
         "__viol",
-        F.max(F.coalesce(up2, F.lit(False)).cast("int"))
+        F.max((F.coalesce(up2, F.lit(False)) | too_deep).cast("int"))
         .over(Window.partitionBy("group_id"))
         == 1,
     )

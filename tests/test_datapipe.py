@@ -297,3 +297,83 @@ def test_ivf_lloyd_refinement_improves_objective_and_keeps_recall(spark, sf_dir)
         for r in _emb(spark, sf_dir).filter(F.col("vec_id") % 10 == 0).select("vec_id").collect()
     }
     assert want <= got
+
+
+def test_repeated_spans_matches_duckdb_window_oracle(spark, sf_dir):
+    """Span-level (substring) dedup: the Spark shingle-count -> join ->
+    gaps-and-islands pipeline must equal an independent DuckDB window
+    oracle on the duplicate-injected corpus."""
+    from tests.util import assert_df_matches_oracle
+
+    spans = dd.repeated_spans(dd.docs_with_dups(_docs(spark, sf_dir)))
+    oracle = """
+WITH docs_plus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+ptoks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM docs_plus
+),
+pos_shingles AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM ptoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 0) + 1)) AS i)
+  WHERE array_to_string(toks[i : i + 2], ' ') <> ''
+),
+rep AS (
+  SELECT shingle FROM pos_shingles GROUP BY shingle
+  HAVING count(DISTINCT doc_id) >= 2
+),
+marked AS (
+  SELECT p.doc_id, p.pos FROM pos_shingles p JOIN rep USING (shingle)
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM marked
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+       count(*) AS n_grams
+FROM islands GROUP BY doc_id, island
+"""
+    assert_df_matches_oracle(spans, oracle, sf_dir)
+
+
+def test_repeated_spans_finds_injected_clones_and_removal_is_exact(spark, sf_dir):
+    """Every injected clone pair shares its full text, so each clone doc
+    must carry a whole-document span; remove_repeated_spans must drop
+    exactly the span-covered token indices and keep everything else in
+    order."""
+    docs = dd.docs_with_dups(_docs(spark, sf_dir))
+    spans = dd.repeated_spans(docs).cache()
+
+    # clone docs (id >= 1,000,000) duplicate an original verbatim ->
+    # their whole token range is covered by one span
+    clone_rows = {r["doc_id"]: r for r in spans.filter(F.col("doc_id") >= 1000000).collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert clone_rows
+    for doc_id, r in clone_rows.items():
+        n_toks = len(texts[doc_id].lower().split())
+        assert r["span_start"] == 0 and r["span_end"] == n_toks - 1
+
+    # removal: recompute expected kept tokens in python from the spans
+    span_rows = spans.collect()
+    covered: dict[int, set] = {}
+    for r in span_rows:
+        covered.setdefault(r["doc_id"], set()).update(
+            range(r["span_start"], r["span_end"] + 1)
+        )
+    removed = {r["doc_id"]: r for r in dd.remove_repeated_spans(docs, spans).collect()}
+    assert set(removed) == set(texts)
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        want = " ".join(
+            t for i, t in enumerate(toks) if i not in covered.get(doc_id, set())
+        )
+        assert removed[doc_id]["deduped_text"] == want
+        assert removed[doc_id]["n_tokens_removed"] == len(covered.get(doc_id, set()))
+    spans.unpersist()

@@ -79,6 +79,29 @@ def test_level_stack_routed_exact_on_stale_stack_groups(spark, sf_dir):
     assert a == b
 
 
+def test_level_stack_routed_undersized_max_level(spark):
+    """An undersized caller max_level must not drop deep edges: groups
+    holding level > max_level rows route to the exact stateful decoder,
+    so the routed output stays identical to the exact decode while clean
+    shallow groups keep the JVM window path."""
+    rows = spark.createDataFrame(
+        [
+            # deep clean group: levels reach 3, caller will claim max 1
+            ("deep", 0, 0, "A"), ("deep", 1, 1, "B"),
+            ("deep", 2, 2, "C"), ("deep", 3, 3, "D"),
+            # shallow clean group: within the bound, stays JVM-side
+            ("shallow", 0, 0, "R"), ("shallow", 1, 1, "S"),
+        ],
+        "group_id string, row_idx int, level int, number string",
+    )
+    want = {(r.parent, r.child) for r in graph.level_stack_decode(rows).collect()}
+    got = {
+        (r.parent, r.child)
+        for r in graph.level_stack_decode_routed(rows, max_level=1).collect()
+    }
+    assert got == want == {("A", "B"), ("B", "C"), ("C", "D"), ("R", "S")}
+
+
 def test_usage_window_matches_applyinpandas(spark, sf_dir):
     """The gate's JVM-only usage decode must equal the general stateful
     decoder — full rows including the carried usage attributes."""
@@ -612,6 +635,116 @@ def test_connector_cypher_batches_idempotent_under_flaky_transport(spark, sf_dir
             batch_size=5, max_retries=2, base_backoff_s=0.0,
         )
     assert "store unreachable" in str(exc_info.getrepr(chain=True))
+
+
+def test_http_ntriples_transport_against_local_server(spark, sf_dir):
+    """The concrete GraphDB wire leg (reference post_ntriples :415-434)
+    against a real local http.server: payload lands verbatim at the
+    repository statements endpoint with Content-Type
+    application/n-triples, a 500 answer reports failure to the retry
+    loop (which then re-POSTs the same chunk), and end-to-end delivery
+    through deliver_ntriples ships every line over real sockets."""
+    import http.server
+    import threading
+
+    from kgforge import connector, fixtures, materialize
+
+    received: list[tuple[str, str, bytes]] = []
+    fail_first = {"pending": True}
+    lock = threading.Lock()
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            with lock:
+                if fail_first["pending"]:
+                    fail_first["pending"] = False
+                    self.send_response(500)
+                    self.end_headers()
+                    return
+                received.append(
+                    (self.path, self.headers.get("Content-Type", ""), body)
+                )
+            self.send_response(204)
+            self.end_headers()
+
+        def log_message(self, *a):  # quiet
+            pass
+
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        transport = connector.HttpNtriplesTransport(
+            f"http://127.0.0.1:{port}", "Snowmobile"
+        )
+        ents = fixtures.load_entities(spark, sf_dir).limit(40)
+        lines = materialize.ntriples_lines(materialize.part_triples(ents))
+        n_lines = lines.count()
+        stats = connector.deliver_ntriples(
+            lines, transport, batch_size=64, max_retries=3, base_backoff_s=0.0
+        )
+        assert stats["lines_delivered"] == n_lines
+        assert stats["attempts"] == stats["chunks_delivered"] + 1  # one 500 retry
+        got_lines = []
+        for path, ctype, body in received:
+            assert path == "/repositories/Snowmobile/statements"
+            assert ctype == "application/n-triples"
+            assert body.endswith(b"\n")
+            got_lines.extend(body.decode("utf-8").splitlines())
+        assert sorted(got_lines) == sorted(r["line"] for r in lines.collect())
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_http_transport_auth_header_and_unreachable(spark):
+    """Basic-auth header shape (reference :383-390) and the
+    connection-refused path returning False (retryable) instead of
+    raising."""
+    import base64
+
+    t = connector_module().HttpNtriplesTransport(
+        "http://127.0.0.1:9", "repo", username="admin", password="secret",
+        timeout_s=0.5,
+    )
+    want = "Basic " + base64.b64encode(b"admin:secret").decode()
+    assert t._auth == want
+    assert t.endpoint == "http://127.0.0.1:9/repositories/repo/statements"
+    assert t(b"<a> <b> <c> .\n", "batch0") is False  # port 9: refused
+
+
+def connector_module():
+    from kgforge import connector
+
+    return connector
+
+
+def test_cypher_payload_serializes_temporal_and_binary():
+    """ADVICE fix: timestamp/date/Decimal/bytes row values must
+    serialize into the Cypher batch payload (default=str), not raise
+    TypeError in the executor."""
+    import datetime
+    import decimal
+    import json as _json
+
+    from kgforge import connector
+
+    rows = [
+        {
+            "ts": datetime.datetime(2026, 1, 2, 3, 4, 5),
+            "d": datetime.date(2026, 1, 2),
+            "q": decimal.Decimal("1.50"),
+            "b": b"\x00\x01",
+        }
+    ]
+    payload = connector.cypher_batch_payload(connector.PART_MERGE_STATEMENT, rows)
+    decoded = _json.loads(payload)
+    got = decoded["parameters"]["rows"][0]
+    assert got["ts"] == "2026-01-02 03:04:05"
+    assert got["d"] == "2026-01-02"
+    assert got["q"] == "1.50"
 
 
 def _random_digraph(seed: int, n: int, m: int) -> list[tuple[str, str]]:
