@@ -159,7 +159,9 @@ class ClosureNotConverged(RuntimeError):
 
 
 # ------------------------------------------------------------------ closure
-def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
+def transitive_closure(
+    edges: DataFrame, max_iterations: int = 24, stats: dict | None = None
+) -> DataFrame:
     """G4: all reachable (ancestor, descendant) pairs — **delta**
     path-doubling fixpoint: covered path lengths still double each round
     (convergence in ceil(log2(diameter)) iterations), but each round
@@ -187,6 +189,11 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     instead of silently truncating (a 64-round semi-naive cap once lost
     the 37 deepest pairs at sf0.1).
 
+    ``stats`` (optional dict) records the measured loop shape — rounds
+    and per-round delta sizes — for scale-curve evidence
+    (scripts/closure_scale_curve.py). Costs one count per round; leave
+    None in production.
+
     At scale: each iteration is one shuffle join of the (shrinking)
     delta against the closure; localCheckpoint per delta keeps lineage
     flat, and the closure is a union of ~log(diameter) checkpointed
@@ -204,7 +211,7 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
     with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
         closure = base
         delta = base
-        for _ in range(max_iterations):
+        for i in range(max_iterations):
             grown = (
                 delta.alias("l")
                 .join(closure.alias("r"), F.col("l.child") == F.col("r.parent"))
@@ -215,13 +222,19 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 24) -> DataFrame:
                 eager=True
             )
             if new.isEmpty():
+                if stats is not None:
+                    stats["rounds"] = i + 1
                 return closure
+            if stats is not None:
+                stats.setdefault("delta_sizes", []).append(new.count())
             closure = closure.unionByName(new)
             delta = new
         raise ClosureNotConverged(f"no fixpoint after {max_iterations} doubling rounds")
 
 
-def transitive_closure_seminaive(edges: DataFrame, max_iterations: int = 512) -> DataFrame:
+def transitive_closure_seminaive(
+    edges: DataFrame, max_iterations: int = 512, stats: dict | None = None
+) -> DataFrame:
     """G4 via classic semi-naive iteration (Δ ⋈ E per round): one round
     per path length. Wins when deltas are tiny and the doubling join's
     path-count intermediate would blow up on dense graphs; loses badly
@@ -244,7 +257,11 @@ def transitive_closure_seminaive(edges: DataFrame, max_iterations: int = 512) ->
             )
             new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(eager=True)
             if new.isEmpty():
+                if stats is not None:
+                    stats["rounds"] = i + 1
                 return closure
+            if stats is not None:
+                stats.setdefault("delta_sizes", []).append(new.count())
             # union of checkpointed deltas; flatten periodically to keep
             # the logical plan shallow
             closure = closure.unionByName(new)
