@@ -108,3 +108,38 @@ def test_parts_contains_flagship_and_header_artifact(spark):
     # the reference's duplicated-header quirk, kept deliberately
     artifact = parts.filter(parts.number == "Number").first()
     assert artifact is not None and artifact["name"] == "Name"
+
+
+HELICOPTER = "/root/reference/data/Helicopter.xlsx"
+MOWER = "/root/reference/data/Mower.xlsx"
+
+
+@pytest.mark.skipif(not os.path.exists(HELICOPTER), reason="dataset absent")
+def test_helicopter_workbook_end_to_end(spark):
+    """The reference's second real dataset — no published goldens, so
+    these are deterministic regression pins. Helicopter exercises paths
+    Snowmobile cannot: BasicNode/StructureNode part_type tokens and a
+    real WTPartDescribeLink-Sheet (39 describes over 38 documents with
+    revision/org/container metadata flowing into document triples)."""
+    stats = pipeline.import_workbook(spark, HELICOPTER)
+    per = stats["per_predicate"]
+    assert stats["n_parts"] == 771
+    assert per[ONT + "hasComponent"] == 971
+    assert per[ONT + "usedIn"] == 971
+    assert per[ONT + "partOfAssembly"] == 5007
+    assert per[ONT + "describes"] == 39
+    assert per[RDF_TYPE] == 771 + 38  # parts + distinct documents
+    assert per[ONT + "hasOrganization"] == 38
+    assert per[ONT + "inContainer"] == 38
+    assert stats["total_triples"] == 13306
+
+
+@pytest.mark.skipif(not os.path.exists(MOWER), reason="dataset absent")
+def test_mower_workbook_end_to_end(spark):
+    stats = pipeline.import_workbook(spark, MOWER)
+    per = stats["per_predicate"]
+    assert stats["n_parts"] == 594
+    assert per[ONT + "hasComponent"] == 663
+    assert per[ONT + "partOfAssembly"] == 1809
+    assert per[ONT + "describes"] == 5
+    assert stats["total_triples"] == 7912
