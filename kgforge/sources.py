@@ -462,6 +462,101 @@ def read_excel_describe_links(
     return empty
 
 
+_CHANGE_KEYWORDS = ("Change", "Revision", "Version", "State")
+
+
+def read_excel_changes(spark: SparkSession, path: str) -> DataFrame:
+    """Change-record scan over a workbook — the reference's
+    ``_extract_change_information``
+    (src/importers/helicopter_change_importer.py:178-217): per sheet,
+    the header is the FIRST row whose values contain both 'Number' and
+    'Name' (:192-196); columns matching the Change/Revision/Version/
+    State keywords (:203) become the change payload, tagged with the
+    source sheet and the part number/name.
+
+    One documented repair: the reference reads the part ref via
+    ``record.get('Number')`` AFTER projecting to the keyword columns
+    (:209-213), which always yields '' — its own shipped artifact
+    (data/helicopter_changes.csv) carries populated part numbers, so
+    the intent is clearly to carry them; this reader keeps Number/Name
+    (or the artifact's ``_part_number``/``_part_name`` spelling)
+    alongside the change columns. change_id is a sha2 content hash
+    (stable across executors; the reference's ``hash() % 1e6`` is
+    run-unstable — same P14 deviation as stable_id_col).
+
+    Returns (change_id, source_sheet, part_number, part_name,
+    revision, state).
+    """
+    from kgforge import xlsx
+
+    wb = xlsx.read_workbook(path)
+    rows: list[tuple] = []
+    for sheet_name, grid in wb.items():
+        header_idx = None
+        for i, r in enumerate(grid):
+            vals = set(map(str, r))
+            if ({"Number", "Name"} <= vals) or ({"_part_number", "_part_name"} <= vals):
+                header_idx = i
+                break
+        if header_idx is None:
+            continue
+        t = xlsx.Table(grid[header_idx:], skiprows=0)
+        cols = set(t.columns)
+        if not any(any(k in str(c) for k in _CHANGE_KEYWORDS) for c in cols):
+            continue
+        num_col = "Number" if "Number" in cols else "_part_number"
+        name_col = "Name" if "Name" in cols else "_part_name"
+
+        for r in t.rows:
+            num = _cell_str(t.get(r, num_col)) if num_col in cols else None
+            name = _cell_str(t.get(r, name_col)) if name_col in cols else None
+            rev = _cell_str(t.get(r, "Revision")) if "Revision" in cols else None
+            state = _cell_str(t.get(r, "State")) if "State" in cols else None
+            if not any((num, name, rev, state)):
+                continue  # reference dropna(how='all') on the payload
+            rows.append((sheet_name, num, name, rev, state))
+    df = spark.createDataFrame(
+        rows,
+        "source_sheet string, part_number string, part_name string, "
+        "revision string, state string",
+    )
+    # drop in-data duplicated header rows (the artifact CSV carries one)
+    df = df.filter(
+        ~(
+            F.coalesce(F.col("part_number"), F.lit("")).isin("Number", "_part_number")
+            & F.coalesce(F.col("revision"), F.lit("")).eqNullSafe(F.lit("Revision"))
+        )
+    )
+    return df.select(
+        F.sha2(
+            F.concat_ws(
+                "\x1f", "source_sheet", "part_number", "part_name", "revision", "state"
+            ),
+            256,
+        ).alias("change_id"),
+        "source_sheet",
+        "part_number",
+        "part_name",
+        "revision",
+        "state",
+    )
+
+
+def change_affects_links(changes: DataFrame, parts: DataFrame) -> DataFrame:
+    """AFFECTS_PART links (reference ``_link_changes_to_parts``
+    :348-377): change records joined to known parts by number; changes
+    with an empty or unknown part number drop (the reference's MATCH
+    simply finds nothing). Broadcast-sized dimension join."""
+    return (
+        changes.filter(
+            F.col("part_number").isNotNull() & (F.col("part_number") != "")
+        )
+        .join(parts.select("number"), F.col("part_number") == F.col("number"), "inner")
+        .select("change_id", "part_number", "revision", "state")
+        .dropDuplicates(["change_id", "part_number"])
+    )
+
+
 # ------------------------------------------------------------ API source
 def read_api_pages(
     spark: SparkSession,
