@@ -188,6 +188,12 @@ def import_workbook(
     )
     counts = {r["pred"]: r["n"] for r in materialize.triple_counts(triples).collect()}
     if out_dir:
+        # same resumable manifest-committed triple table as the fixture
+        # pipeline (subject-hash buckets, per-group commit, idempotent
+        # re-run), plus the N-Triples parity artifact
+        resume.write_triples_resumable(
+            triples, out_dir, lineage=f"excel={excel_path};bom_csv={bom_csv}"
+        )
         materialize.write_ntriples(triples, f"{out_dir}/ntriples")
     stats = {
         "excel": excel_path,
@@ -256,11 +262,14 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("kgforge-pipeline")
 
     if args.excel:
+        # sf_dir is meaningless under --excel; a single positional is
+        # the output directory
+        out_dir = args.out_dir or (
+            args.sf_dir if args.sf_dir != p.get_default("sf_dir") else None
+        )
         print(
             json.dumps(
-                import_workbook(
-                    spark, args.excel, bom_csv=args.bom, out_dir=args.out_dir
-                ),
+                import_workbook(spark, args.excel, bom_csv=args.bom, out_dir=out_dir),
                 indent=1,
                 default=int,
             )

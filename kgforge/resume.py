@@ -17,6 +17,7 @@ same, only the commit primitive changes.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import tempfile
@@ -98,6 +99,26 @@ def write_triples_resumable(
                     "lineage": lineage,
                     "committed_at": now,
                 }
+            # Iceberg-style snapshot log: every commit group appends one
+            # snapshot whose id is a content hash chaining the parent —
+            # the linear history a table's snapshot metadata carries, so
+            # a resume's provenance (which run committed which buckets)
+            # is auditable after the fact.
+            snapshots = manifest.setdefault("snapshots", [])
+            parent_id = snapshots[-1]["snapshot_id"] if snapshots else None
+            payload = json.dumps(
+                [parent_id, group, counts, lineage], sort_keys=True
+            ).encode()
+            snapshots.append(
+                {
+                    "snapshot_id": hashlib.sha256(payload).hexdigest()[:16],
+                    "parent_snapshot_id": parent_id,
+                    "buckets": group,
+                    "n_triples": int(sum(counts.get(str(b), 0) for b in group)),
+                    "lineage": lineage,
+                    "committed_at": now,
+                }
+            )
             _commit_manifest(out_dir, manifest)
             commits_done += 1
             if fail_after_commits is not None and commits_done >= fail_after_commits:

@@ -390,6 +390,17 @@ def test_resume_kill_and_rerun(spark, sf_dir, tmp_path):
     assert got.dropDuplicates(["subj", "pred", "obj"]).count() == expected
     # manifest counts match data
     assert sum(v["n_triples"] for v in manifest["committed"].values()) == expected
+    # snapshot log: a linear parent-chained history spanning BOTH runs
+    # (crashed + resumed), covering every bucket exactly once, with
+    # per-snapshot counts summing to the data
+    snaps = manifest["snapshots"]
+    assert len(snaps) >= 2  # at least one commit per run
+    assert snaps[0]["parent_snapshot_id"] is None
+    for prev, cur in zip(snaps, snaps[1:]):
+        assert cur["parent_snapshot_id"] == prev["snapshot_id"]
+    all_buckets = [b for s in snaps for b in s["buckets"]]
+    assert sorted(all_buckets) == list(range(8))
+    assert sum(s["n_triples"] for s in snaps) == expected
     triples.unpersist()
 
 
