@@ -377,3 +377,67 @@ def test_repeated_spans_finds_injected_clones_and_removal_is_exact(spark, sf_dir
         assert removed[doc_id]["deduped_text"] == want
         assert removed[doc_id]["n_tokens_removed"] == len(covered.get(doc_id, set()))
     spans.unpersist()
+
+
+def test_curate_corpus_composes_primitives_exactly(spark, sf_dir):
+    """The curation pipeline must equal applying the (individually
+    oracled) primitives stage by stage: lang filter, token gate,
+    cluster-dedup keeper subtraction, span rewrite — with a funnel whose
+    n_in/n_out chain matches and never increases."""
+    from kgforge.datapipe import curate
+    from kgforge.datapipe import text as dtext
+
+    docs = dd.docs_with_dups(_docs(spark, sf_dir))
+    kept, funnel = curate.curate_corpus(
+        docs, lang="en", min_tokens=3, dedup="cluster", span_min_docs=2
+    )
+    kept_rows = {r["doc_id"]: r for r in kept.collect()}
+
+    # stage replay with the primitives
+    s1 = docs.filter(dtext.lang_id(F.col("text")) == "en")
+    s2 = s1.filter(dtext.token_count_ws(F.col("text")) >= 3)
+    losers = {
+        r["doc_id"]
+        for r in dd.dedup_clusters(s2, dd.lsh_candidate_pairs(s2))
+        .filter("NOT keep")
+        .collect()
+    }
+    s3_ids = {r["doc_id"] for r in s2.collect()} - losers
+    assert set(kept_rows) == s3_ids and kept_rows
+
+    # span rewrite applied over exactly the survivors
+    s3 = s2.join(
+        spark.createDataFrame([(i,) for i in losers] or [(None,)], "doc_id long"),
+        "doc_id",
+        "left_anti",
+    )
+    rewritten = {
+        r["doc_id"]: r["deduped_text"]
+        for r in dd.remove_repeated_spans(s3, dd.repeated_spans(s3, min_docs=2)).collect()
+    }
+    for doc_id, row in kept_rows.items():
+        assert row["text"] == rewritten[doc_id]
+
+    # funnel chain: stages in order, counts non-increasing and linked
+    assert [f["stage"] for f in funnel] == [
+        "lang", "quality", "dedup_cluster", "span_removal",
+    ]
+    for prev, cur_ in zip(funnel, funnel[1:]):
+        assert cur_["n_in"] == prev["n_out"]
+    assert all(f["n_out"] <= f["n_in"] for f in funnel)
+    assert funnel[-1]["n_out"] == len(kept_rows)
+    # dedup actually removed the injected clones' losers
+    assert funnel[2]["n_out"] < funnel[2]["n_in"]
+
+
+def test_curate_corpus_exact_mode_keeps_min_doc(spark, sf_dir):
+    from kgforge.datapipe import curate
+
+    docs = dd.docs_with_dups(_docs(spark, sf_dir))
+    kept, funnel = curate.curate_corpus(docs, dedup="exact")
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # every injected clone (id >= 1e6) loses to its original (min id)
+    assert not {i for i in ids if i >= 1000000}
+    assert funnel == [
+        {"stage": "dedup_exact", "n_in": docs.count(), "n_out": len(ids)}
+    ]
