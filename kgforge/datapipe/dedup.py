@@ -162,7 +162,10 @@ def positional_shingles(documents: DataFrame, k: int = DEFAULT_SHINGLE_K) -> Dat
 
 
 def repeated_spans(
-    documents: DataFrame, k: int = DEFAULT_SHINGLE_K, min_docs: int = 2
+    documents: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    min_docs: int = 2,
+    min_total: int | None = None,
 ) -> DataFrame:
     """Cross-document repeated-SPAN detection at n-gram granularity —
     the training-set "dedup repeated substrings" op (the suffix-array
@@ -172,6 +175,10 @@ def repeated_spans(
 
     Returns ``(doc_id, span_start, span_end, n_grams)`` with token
     indices inclusive (span_end covers the last gram's final token).
+
+    ``min_total`` switches the threshold to TOTAL occurrences across
+    the corpus (within-document repeats count) — the suffix-array
+    paper's occurrence-count criterion — instead of distinct documents.
 
     Scale shape (no all-pairs, no suffix array): one groupBy(shingle)
     (map-side-combined count-distinct, bucketed by shingle hash), one
@@ -183,12 +190,20 @@ def repeated_spans(
     from pyspark.sql import Window
 
     ps = positional_shingles(documents, k)
-    rep = (
-        ps.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= min_docs)
-        .select("shingle")
-    )
+    if min_total is not None:
+        rep = (
+            ps.groupBy("shingle")
+            .agg(F.count("*").alias("nt"))
+            .filter(F.col("nt") >= min_total)
+            .select("shingle")
+        )
+    else:
+        rep = (
+            ps.groupBy("shingle")
+            .agg(F.count_distinct("doc_id").alias("nd"))
+            .filter(F.col("nd") >= min_docs)
+            .select("shingle")
+        )
     marked = ps.join(rep, "shingle").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     islands = marked.withColumn("island", F.col("pos") - F.row_number().over(w))

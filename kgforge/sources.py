@@ -42,10 +42,20 @@ from kgforge import graph, sniff
 from kgforge.normalize import normalize_number_col
 
 
-def read_bom_csv(spark: SparkSession, path: str) -> DataFrame:
+def read_bom_csv(
+    spark: SparkSession, path: str, hierarchical_mode: str = "stack"
+) -> DataFrame:
     """Read a BOM edge CSV (file, directory, or glob) into deduplicated
     ``(parent, child)`` edges, routing by the sniffed header shape. All
     files under one path must share one header (one export family).
+
+    ``hierarchical_mode`` selects the decode for Number+Level files:
+    ``"stack"`` (default) is the order-correct level stack that produced
+    the reference's published Snowmobile graph; ``"roundrobin"`` is the
+    bit-compatible replay of the reference's *current* ``--bom`` code
+    path (``_parse_hierarchical_bom_csv`` :194-252, positional
+    assignment of level-L rows over level-(L-1) rows) for users
+    migrating from that flow.
 
     Raises ``ValueError`` when neither shape matches — the caller
     decides whether to skip the input (the reference logs and returns
@@ -57,7 +67,8 @@ def read_bom_csv(spark: SparkSession, path: str) -> DataFrame:
 
     if "number" in lower and "level" in lower:
         return _read_hierarchical(
-            spark, path, columns, lower["number"], lower["level"]
+            spark, path, columns, lower["number"], lower["level"],
+            mode=hierarchical_mode,
         )
 
     pair = sniff.resolve_edge_columns(columns)
@@ -85,6 +96,7 @@ def _read_hierarchical(
     columns: list[str],
     number_col: str,
     level_col: str,
+    mode: str = "stack",
 ) -> DataFrame:
     """Order-preserving hierarchical decode: one file = one group."""
     n_idx = columns.index(number_col)
@@ -118,6 +130,12 @@ def _read_hierarchical(
         # (:1167-1174); the int cast nulls the former
         .filter(F.col("level").isNotNull() & (F.col("number") != ""))
     )
+    if mode == "roundrobin":
+        # the reference's current --bom semantics, no dedup (:252 returns
+        # the raw edge list; the importer's edge store dedups by MERGE)
+        return graph.level_stack_round_robin(parsed).dropDuplicates()
+    if mode != "stack":  # pragma: no cover
+        raise ValueError(f"unknown hierarchical_mode {mode!r}")
     max_level = parsed.agg(F.max("level")).first()[0]
     if max_level is None:
         return spark.createDataFrame([], "parent string, child string")

@@ -441,3 +441,43 @@ def test_curate_corpus_exact_mode_keeps_min_doc(spark, sf_dir):
     assert funnel == [
         {"stage": "dedup_exact", "n_in": docs.count(), "n_out": len(ids)}
     ]
+
+
+def test_repeated_spans_min_total_matches_duckdb(spark, sf_dir):
+    """min_total mode (occurrence-count threshold, within-doc repeats
+    count) against the DuckDB oracle at a threshold the clone-injected
+    corpus makes selective."""
+    from tests.util import assert_df_matches_oracle
+
+    spans = dd.repeated_spans(dd.docs_with_dups(_docs(spark, sf_dir)), min_total=3)
+    oracle = """
+WITH docs_plus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+),
+ptoks AS (
+  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS toks FROM docs_plus
+),
+pos_shingles AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(toks[i : i + 2], ' ') AS shingle
+  FROM ptoks,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 0) + 1)) AS i)
+  WHERE array_to_string(toks[i : i + 2], ' ') <> ''
+),
+rep AS (
+  SELECT shingle FROM pos_shingles GROUP BY shingle HAVING count(*) >= 3
+),
+islands AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM pos_shingles JOIN rep USING (shingle)
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + 2 AS BIGINT) AS span_end,
+       count(*) AS n_grams
+FROM islands GROUP BY doc_id, island
+"""
+    assert_df_matches_oracle(spans, oracle, sf_dir)

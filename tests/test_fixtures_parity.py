@@ -368,3 +368,59 @@ def test_read_bom_csv_by_name_resolution_semantics(spark, sf_dir, tmp_path):
         for r in sources.read_bom_csv_by_name(spark, str(p2), ents2).collect()
     }
     assert got2 == {("500", "600")}
+
+
+def test_read_bom_csv_roundrobin_mode_matches_reference_parse(spark):
+    """hierarchical_mode='roundrobin' must replay the reference's
+    CURRENT --bom code path (_parse_hierarchical_bom_csv :194-252 —
+    whole-file level grouping, child i at level L assigned to parent
+    i % n_parents at level L-1) on the reference's real bom.csv,
+    matched against a pure-Python transcription of that loop."""
+    import csv
+    import os
+
+    from kgforge import sources
+
+    bom = "/root/reference/data/bom.csv"
+    if not os.path.exists(bom):
+        import pytest
+
+        pytest.skip("reference bom.csv absent")
+
+    with open(bom) as f:
+        rows = list(csv.reader(f))
+    hdr, data = rows[0], rows[1:]
+    ni, li = hdr.index("Number"), hdr.index("Level")
+    level_parts: dict[int, list[str]] = {}
+    for r in data:
+        lvl = r[li] if li < len(r) else ""
+        num = r[ni] if ni < len(r) else ""
+        if not lvl or not num:
+            continue
+        try:
+            level = int(lvl)
+        except ValueError:
+            continue
+        level_parts.setdefault(level, []).append(num)
+    want = set()
+    for level in sorted(level_parts):
+        if level == 0:
+            continue
+        parents = level_parts.get(level - 1)
+        if not parents:
+            continue
+        for i, child in enumerate(level_parts[level]):
+            want.add((parents[i % len(parents)], child))
+
+    got = {
+        (r.parent, r.child)
+        for r in sources.read_bom_csv(
+            spark, bom, hierarchical_mode="roundrobin"
+        ).collect()
+    }
+    assert got == want and len(got) > 1000
+
+    # and the default stack mode on the same file equals the xlsx-path
+    # semantics (distinct level-stack edges = the published 1,543)
+    stack = sources.read_bom_csv(spark, bom)
+    assert stack.count() == 1543
