@@ -84,6 +84,21 @@ def sniff_sheet(
     return header, [list(r) for r in rows]
 
 
+def find_header_row(
+    grid: Sequence[Sequence], required: Sequence[str] = REQUIRED_HEADERS
+) -> int | None:
+    """Index of the FIRST grid row containing every required header —
+    the header-anywhere scan (the reference's change importer uses the
+    same idea, helicopter_change_importer.py:192-196; its main loader's
+    fixed ``skiprows=4`` cannot read a header-at-row-0 export at all).
+    Returns None when no row qualifies."""
+    req = set(required)
+    for i, row in enumerate(grid):
+        if req.issubset({_cell(c) for c in row}):
+            return i
+    return None
+
+
 def resolve_edge_columns(columns: Sequence[str]) -> tuple[str, str] | None:
     """Pick the (parent, child) column pair from an edge CSV header by
     synonym priority (reference :1185-1195). Returns the ORIGINAL column

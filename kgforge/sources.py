@@ -271,7 +271,10 @@ def _excel_tables(path: str, sheets: list[str] | None):
 
 
 def read_excel_parts(
-    spark: SparkSession, path: str, sheets: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    sheets: list[str] | None = None,
+    sniffed: bool = False,
 ) -> DataFrame:
     """S2: parts scan over every sheet of a workbook — the reference's
     ``SpreadsheetParser.parse_parts`` (spreadsheet_loader.py:54-111) as
@@ -285,7 +288,20 @@ def read_excel_parts(
     header row becomes a part numbered 'Number' — the published
     Snowmobile count of 939 parts includes it (docs/GRAPHDB_QUERIES.md:6
     vs 938 real parts; pinned by tests/test_snowmobile_golden.py).
+
+    ``sniffed=True`` additionally recovers sheets the reference's fixed
+    ``skiprows=4`` read CANNOT parse (header at any other row — e.g.
+    Helicopter_Import.xlsx's header-at-row-0 export, which its loader
+    silently skips): when the standard path finds no Number+Name
+    header, the grid is re-scanned for the first row carrying the
+    required headers (:func:`kgforge.sniff.find_header_row`) and
+    leading rows that merely mirror that header are dropped instead of
+    becoming artifact parts.
     """
+    from kgforge import sniff as _sniff
+    from kgforge import xlsx as _xlsx
+
+    wb_grids = _xlsx.read_workbook(path)
     rows: list[tuple] = []
     seq = 0
     for sheet_name, t in _excel_tables(path, sheets):
@@ -295,7 +311,27 @@ def read_excel_parts(
             if req.issubset(first_str) and not req.issubset(set(map(str, t.columns))):
                 t = t.promote_first_row_header()
         if not {"Number", "Name"}.issubset(set(map(str, t.columns))):
-            continue
+            if not sniffed:
+                continue
+            grid = wb_grids.get(sheet_name) or []
+            idx = _sniff.find_header_row(grid)
+            if idx is None:
+                continue
+            from kgforge.xlsx import Table as _Table
+
+            t = _Table(grid[idx:], skiprows=0)
+            # mirror-drop against the RAW header row (Table mangles
+            # duplicate names, so the mangled columns never compare
+            # equal to a literal header-duplicate row)
+            width = len(t.columns)
+            raw_header = [
+                "" if v is None else str(v)
+                for v in (list(grid[idx]) + [None] * width)[:width]
+            ]
+            while t.rows and [
+                "" if v is None else str(v) for v in t.first_row_values()
+            ] == raw_header:
+                t.rows = t.rows[1:]
         part_type = next((tok for tok in _PART_TYPE_TOKENS if tok in sheet_name), None)
         present = set(t.columns)
 

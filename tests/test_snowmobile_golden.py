@@ -183,3 +183,21 @@ def test_change_records_match_shipped_artifact(spark):
     assert {r["change_id"] for r in ch.collect()} == {
         r["change_id"] for r in again.collect()
     }
+
+
+@pytest.mark.skipif(not os.path.exists(HELI_IMPORT), reason="dataset absent")
+def test_sniffed_parts_recover_header_at_row_zero(spark):
+    """Helicopter_Import.xlsx exports its parts sheet with the header at
+    row 0 — the reference's fixed skiprows=4 loader silently reads zero
+    parts from it. sniffed=True re-scans for the header row and recovers
+    the full catalog (694 parts + the reference-faithful near-mirror
+    header-residue row); the standard mode and the goldens stay
+    untouched (Snowmobile parses identically either way)."""
+    std = sources.read_excel_parts(spark, HELI_IMPORT)
+    assert std.count() == 0  # reference behavior: unreadable layout
+    sn = sources.read_excel_parts(spark, HELI_IMPORT, sniffed=True)
+    assert sn.count() == 695
+    flag = sn.filter(sn.number == "0048695").first()
+    assert flag is not None and flag["name"] == "STEALTH FUSELAGE ASSEMBLY"
+    # sniffed mode is a no-op on standard-layout workbooks
+    assert sources.read_excel_parts(spark, SNOWMOBILE, sniffed=True).count() == 939
