@@ -301,7 +301,9 @@ def read_excel_parts(
     from kgforge import sniff as _sniff
     from kgforge import xlsx as _xlsx
 
-    wb_grids = _xlsx.read_workbook(path)
+    # loaded only if a sheet actually needs the header-anywhere rescue
+    # (avoids a second driver-side workbook parse on the standard path)
+    wb_grids: dict | None = None
     rows: list[tuple] = []
     seq = 0
     for sheet_name, t in _excel_tables(path, sheets):
@@ -313,6 +315,8 @@ def read_excel_parts(
         if not {"Number", "Name"}.issubset(set(map(str, t.columns))):
             if not sniffed:
                 continue
+            if wb_grids is None:
+                wb_grids = _xlsx.read_workbook(path)
             grid = wb_grids.get(sheet_name) or []
             idx = _sniff.find_header_row(grid)
             if idx is None:
