@@ -257,9 +257,42 @@ def main(argv: list[str] | None = None) -> None:
         "import_data flow) instead of the fixture pipeline; sf_dir is "
         "ignored, out_dir receives N-Triples",
     )
+    p.add_argument(
+        "--dump-parts", metavar="DIR", default=None,
+        help="with --excel: write the parsed parts catalog CSV and exit "
+        "(reference scripts/extract_parts.py)",
+    )
+    p.add_argument(
+        "--convert-bom", metavar="DIR", default=None,
+        help="with --bom: write the hierarchical CSV converted to "
+        "parent-child shape and exit (reference "
+        "scripts/convert_hierarchical_bom.py — raw level-stack edges, "
+        "duplicates preserved like the shipped bom_parent_child.csv)",
+    )
     args = p.parse_args(argv)
 
     spark = get_spark("kgforge-pipeline")
+
+    if args.convert_bom:
+        if not args.bom:
+            p.error("--convert-bom requires --bom CSV")
+        from kgforge import sources
+
+        edges = sources.convert_hierarchical_bom(spark, args.bom)
+        edges.selectExpr(
+            "parent AS `Parent Number`", "child AS `Child Number`"
+        ).write.mode("overwrite").option("header", True).csv(args.convert_bom)
+        print(json.dumps({"report": "parent_child_bom", "out": args.convert_bom}))
+        return
+
+    if args.excel and args.dump_parts:
+        from kgforge import sources
+
+        sources.read_excel_parts(spark, args.excel).write.mode(
+            "overwrite"
+        ).option("header", True).csv(args.dump_parts)
+        print(json.dumps({"report": "parts_catalog", "out": args.dump_parts}))
+        return
 
     if args.excel:
         # sf_dir is meaningless under --excel; a single positional is

@@ -144,6 +144,50 @@ def _read_hierarchical(
     ).dropDuplicates()
 
 
+def convert_hierarchical_bom(spark: SparkSession, path: str) -> DataFrame:
+    """The reference's hierarchical→parent-child conversion utility
+    (scripts/convert_hierarchical_bom.py): the level-stack decode with
+    duplicates PRESERVED — the shipped ``data/bom_parent_child.csv``
+    artifact is this script's raw output (2,072 dup-bearing rows whose
+    distinct set is the published 1,543), so the converter keeps row
+    multiplicity; the ``read_bom_csv`` ingestion path dedups.
+    """
+    header_df = spark.read.option("header", True).csv(path)
+    columns = [c for c in header_df.columns]
+    lower = {str(c).strip().lower(): c for c in columns}
+    if "number" not in lower or "level" not in lower:
+        raise ValueError(f"not a hierarchical BOM header: {columns}")
+    n_idx = columns.index(lower["number"])
+    l_idx = columns.index(lower["level"])
+    line_schema = ", ".join(f"c{i} string" for i in range(len(columns)))
+    files = spark.read.text(path, wholetext=True).select(
+        F.input_file_name().alias("group_id"), F.col("value")
+    )
+    lines = files.select(
+        "group_id",
+        F.posexplode(F.split(F.col("value"), "\r?\n")).alias("row_idx", "line"),
+    )
+    parsed = (
+        lines.filter((F.col("row_idx") > 0) & (F.trim(F.col("line")) != ""))
+        .select(
+            "group_id",
+            "row_idx",
+            F.from_csv(F.col("line"), line_schema).alias("r"),
+        )
+        .select(
+            "group_id",
+            "row_idx",
+            F.col(f"r.c{l_idx}").try_cast("int").alias("level"),
+            normalize_number_col(F.col(f"r.c{n_idx}")).alias("number"),
+        )
+        .filter(F.col("level").isNotNull() & (F.col("number") != ""))
+    )
+    max_level = parsed.agg(F.max("level")).first()[0]
+    if max_level is None:
+        return spark.createDataFrame([], "parent string, child string")
+    return graph.level_stack_decode_routed(parsed, max_level=int(max_level))
+
+
 def read_bom_csv_by_name(
     spark: SparkSession,
     path: str,

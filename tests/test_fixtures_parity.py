@@ -424,3 +424,30 @@ def test_read_bom_csv_roundrobin_mode_matches_reference_parse(spark):
     # semantics (distinct level-stack edges = the published 1,543)
     stack = sources.read_bom_csv(spark, bom)
     assert stack.count() == 1543
+
+
+def test_convert_hierarchical_bom_matches_shipped_artifact(spark):
+    """convert_hierarchical_bom on the reference's real bom.csv must
+    reproduce its own shipped conversion output
+    (data/bom_parent_child.csv — raw dup-bearing level-stack edges, the
+    convert_hierarchical_bom.py script's artifact) as a multiset."""
+    import csv
+    import os
+    from collections import Counter
+
+    import pytest
+
+    from kgforge import sources
+
+    bom = "/root/reference/data/bom.csv"
+    artifact = "/root/reference/data/bom_parent_child.csv"
+    if not (os.path.exists(bom) and os.path.exists(artifact)):
+        pytest.skip("reference data absent")
+    got = Counter(
+        (r.parent, r.child)
+        for r in sources.convert_hierarchical_bom(spark, bom).collect()
+    )
+    with open(artifact) as f:
+        rows = list(csv.reader(f))[1:]
+    want = Counter((p, c) for p, c in rows)
+    assert got == want and sum(got.values()) == 2072
