@@ -56,12 +56,29 @@ def curate_corpus(
 
     Returns ``(curated, funnel)`` where ``funnel`` is a list of
     ``{"stage", "n_in", "n_out"}`` dicts, one per applied stage.
+
+    The frame returned after a shuffle-heavy stage (dedup, span
+    removal) is CACHED and materialized by that stage's funnel count,
+    and the previous stage's cache is released — so the LSH->CC subtree
+    executes exactly once even though the funnel counts it and the
+    caller then materializes the curated corpus (at 100 TB an uncached
+    composition would replay the most expensive stage 2-3x).  The
+    returned ``curated`` frame is the last such cache; callers should
+    ``curated.unpersist()`` once it has been written out.
     """
     funnel: list[dict] = []
     cur = documents
+    cached_prev: DataFrame | None = None
 
-    def gate(stage: str, nxt: DataFrame, n_in: int) -> int:
-        n_out = nxt.count()
+    def gate(stage: str, nxt: DataFrame, n_in: int, cache: bool = False) -> int:
+        nonlocal cached_prev
+        if cache:
+            nxt = nxt.cache()
+        n_out = nxt.count()  # materializes the new cache when cache=True
+        if cache and cached_prev is not None:
+            cached_prev.unpersist()  # only after the successor is materialized
+        if cache:
+            cached_prev = nxt
         funnel.append({"stage": stage, "n_in": n_in, "n_out": n_out})
         return n_out
 
@@ -85,13 +102,13 @@ def curate_corpus(
             F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")) == 1,
         )
         cur = keep.filter("keep").drop("fp", "keep")
-        n = gate("dedup_exact", cur, n)
+        n = gate("dedup_exact", cur, n, cache=True)
     elif dedup == "cluster":
         pairs = dd.lsh_candidate_pairs(cur)
         clusters = dd.dedup_clusters(cur, pairs)
         losers = clusters.filter(~F.col("keep")).select("doc_id")
         cur = cur.join(losers, "doc_id", "left_anti")
-        n = gate("dedup_cluster", cur, n)
+        n = gate("dedup_cluster", cur, n, cache=True)
     elif dedup != "none":  # pragma: no cover
         raise ValueError(f"unknown dedup mode {dedup!r}")
 
@@ -103,6 +120,6 @@ def curate_corpus(
             .join(rewritten, "doc_id")
             .withColumnRenamed("deduped_text", "text")
         )
-        n = gate("span_removal", cur, n)
+        n = gate("span_removal", cur, n, cache=True)
 
     return cur, funnel

@@ -223,29 +223,56 @@ def remove_repeated_spans(
 ) -> DataFrame:
     """Apply span-level dedup: rebuild each document's text without the
     tokens covered by its ``spans`` rows (output of
-    :func:`repeated_spans`). Pure array expressions — the covered-index
-    set rides a per-doc array through one equi-join; no UDF, no
-    shuffle beyond the join on doc_id."""
-    covered = (
-        spans.select(
-            "doc_id",
-            F.explode(F.sequence("span_start", "span_end")).alias("i"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("i").alias("drop_idx"))
+    :func:`repeated_spans`). Pure array expressions; no UDF, no shuffle
+    beyond the span groupBy + equi-join on doc_id.
+
+    Linear in tokens: instead of a per-token membership test against
+    the covered-index set (O(tokens x covered) — quadratic for the
+    fully-covered verbatim-clone case this op exists for), the kept
+    text is the concatenation of the GAPS between the doc's spans.
+    :func:`repeated_spans` islands are disjoint runs of gram positions,
+    so after the +k-1 end extension their ends are strictly increasing;
+    sorting by span_start and clamping each gap to start after the
+    previous span's end yields the exact complement, and each gap is
+    one O(len) ``slice`` of the token array.
+    """
+    sp = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e"))
+            )
+        ).alias("sp")
     )
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(0), F.size(toks) - F.lit(1))
-    pairs = F.zip_with(
-        toks, idx.cast("array<bigint>"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+    n = F.size(toks).cast("bigint")
+    spc = F.coalesce(
+        F.col("sp"), F.array().cast("array<struct<s:bigint,e:bigint>>")
     )
-    kept = F.filter(
-        pairs, lambda s: ~F.array_contains(F.coalesce(F.col("drop_idx"), F.array().cast("array<bigint>")), s["i"])
+    # gap i runs from (end of span i-1)+1 to (start of span i)-1, with a
+    # virtual span end of -1 before the first span and a virtual span
+    # start of n after the last — zip the shifted end/start arrays
+    prev_ends = F.concat(
+        F.array(F.lit(-1).cast("bigint")), F.transform(spc, lambda x: x["e"])
     )
-    return documents.join(covered, "doc_id", "left").select(
+    next_starts = F.concat(F.transform(spc, lambda x: x["s"]), F.array(n))
+    gaps = F.zip_with(
+        prev_ends,
+        next_starts,
+        lambda pe, st: F.struct(
+            (pe + 1).alias("start"),
+            F.greatest(st - pe - 1, F.lit(0).cast("bigint")).alias("len"),
+        ),
+    )
+    kept = F.flatten(
+        F.transform(
+            gaps,
+            lambda g: F.slice(toks, (g["start"] + 1).cast("int"), g["len"].cast("int")),
+        )
+    )
+    return documents.join(sp, "doc_id", "left").select(
         "doc_id",
-        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("deduped_text"),
-        F.size(F.coalesce(F.col("drop_idx"), F.array().cast("array<bigint>"))).cast("bigint").alias("n_tokens_removed"),
+        F.concat_ws(" ", kept).alias("deduped_text"),
+        (n - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
     )
 
 

@@ -294,57 +294,98 @@ def khop_descendants(edges: DataFrame, roots: DataFrame, max_depth: int) -> Data
     return out
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Release a superseded localCheckpoint's backing storage NOW
+    instead of waiting for the ContextCleaner's GC pass — a fixpoint
+    loop otherwise stacks one materialized round per iteration (at
+    cluster scale that is rounds x |labels| of executor memory held for
+    nothing). The frame is unreadable afterwards (a local checkpoint
+    has no lineage to recompute from), so only call this on frames no
+    later plan reads."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover — best-effort (non-LogicalRDD plan)
+        pass
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 64, stats: dict | None = None
+) -> DataFrame:
     """Connected components by iterative min-label propagation over the
     undirected graph — the canonicalization pass of the north rule
     (stable cluster representative = min member id). Returns
     (node, component).
 
     Each iteration: component[n] = min(component[n], min over neighbors)
-    — a shuffle groupBy on node. Converges in O(diameter) iterations;
-    for Zipfian graphs use with AQE skew handling (large-star/small-star
-    is the drop-in upgrade at extreme diameters).
+    — a shuffle groupBy on node. Converges in O(diameter)+1 iterations;
+    for extreme diameters :func:`connected_components_star` is the
+    drop-in upgrade (O(log^2 n) rounds).
+
+    Per-round cost is kept minimal because at dedup-cluster shapes
+    (tiny diameter, so 3-5 rounds) the fixed cost per round IS the
+    stage cost: loop shuffles are sized to the label frame
+    (:func:`_fixpoint_partitions` — never above the session conf, so a
+    cluster-scale input still fans out fully), convergence is read off
+    the checkpointed round itself (a ``prev`` column + count — no extra
+    join), and each superseded round's checkpoint is freed eagerly.
+    ``stats`` (mutated in place) records ``rounds`` and ``delta_sizes``
+    = labels changed per round, the same contract as the closure's —
+    scripts/cc_scale_curve.py turns it into the measured scale curve.
     """
-    with _constraint_propagation_off(edges.sparkSession):
+    spark = edges.sparkSession
+    with _constraint_propagation_off(spark):
         undirected = (
             edges.select(F.col("parent").alias("a"), F.col("child").alias("b"))
             .unionByName(edges.select(F.col("child").alias("a"), F.col("parent").alias("b")))
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
-        labels = (
+    parts = _fixpoint_partitions(spark, undirected.count())
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
+        labels_cp = (
             undirected.select(F.col("a").alias("node"))
             .dropDuplicates()
             .withColumn("component", F.col("node"))
             .localCheckpoint(eager=True)
         )
-        for _ in range(max_iterations):
+        labels = labels_cp
+        delta_sizes: list[int] = []
+        for i in range(max_iterations):
             neighbor_min = (
                 undirected.join(labels, undirected.b == labels.node)
                 .groupBy("a")
                 .agg(F.min("component").alias("nmin"))
             )
-            updated = (
+            updated_cp = (
                 labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
                 .select(
-                    "node",
+                    labels.node.alias("node"),
+                    labels.component.alias("prev"),
                     F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "node")
-                .filter(F.col("u.component") != F.col("l.component"))
-            )
-            no_change = changed.isEmpty()
-            labels = updated
-            if no_change:
+            # convergence is a scan of the round just materialized —
+            # the old plan's separate updated-vs-labels join was a full
+            # extra shuffle per round
+            n_changed = updated_cp.filter(F.col("component") != F.col("prev")).count()
+            delta_sizes.append(n_changed)
+            _free_local_checkpoint(labels_cp)
+            labels_cp = updated_cp
+            labels = updated_cp.select("node", "component")
+            if n_changed == 0:
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                    stats["delta_sizes"] = delta_sizes
+                _free_local_checkpoint(undirected)
                 return labels
     raise ClosureNotConverged(f"components not stable after {max_iterations} rounds")
 
 
-def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> DataFrame:
+def connected_components_star(
+    edges: DataFrame, max_iterations: int = 64, stats: dict | None = None
+) -> DataFrame:
     """Connected components via alternating large-star/small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond") —
     the diameter-robust upgrade over min-label propagation: label
@@ -356,15 +397,24 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> Dat
     large-star: every node points its *larger* neighbors at the minimum
     of its neighborhood (incl. itself); small-star does the same for
     smaller-or-equal neighbors. Both are a groupBy + join per round —
-    pure shuffle ops, no driver data.
+    pure shuffle ops, no driver data. Same loop hygiene as
+    :func:`connected_components`: sized shuffles, freed superseded
+    checkpoints, and stability read as |next| == |cur| plus one-sided
+    ``next \\ cur`` emptiness (equal multiset cardinality + multiset
+    containment <=> equality — half the old two-sided exceptAll cost).
     """
-    with _constraint_propagation_off(edges.sparkSession):
+    spark = edges.sparkSession
+    with _constraint_propagation_off(spark):
         cur = (
             edges.select(F.col("parent").alias("u"), F.col("child").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
+    n_cur = cur.count()
+    parts = _fixpoint_partitions(spark, n_cur)
+    configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
 
         def _large_star(e: DataFrame) -> DataFrame:
             sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -389,11 +439,21 @@ def connected_components_star(edges: DataFrame, max_iterations: int = 64) -> Dat
             )
             return out.filter(F.col("u") != F.col("v")).dropDuplicates()
 
-        for _ in range(max_iterations):
+        delta_sizes: list[int] = []
+        for i in range(max_iterations):
             nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-            stable = nxt.exceptAll(cur).isEmpty() and cur.exceptAll(nxt).isEmpty()
-            cur = nxt
+            n_nxt = nxt.count()
+            # multiset equality <=> equal cardinality + one-sided
+            # multiset containment (count is a cached-scan, exceptAll a
+            # join — this halves the old two-sided stability check)
+            stable = n_nxt == n_cur and nxt.exceptAll(cur).isEmpty()
+            delta_sizes.append(n_nxt)
+            _free_local_checkpoint(cur)
+            cur, n_cur = nxt, n_nxt
             if stable:
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                    stats["delta_sizes"] = delta_sizes
                 nodes = (
                     edges.select(F.col("parent").alias("node"))
                     .unionByName(edges.select(F.col("child").alias("node")))

@@ -273,6 +273,9 @@ def main(argv: list[str] | None = None) -> None:
 
     spark = get_spark("kgforge-pipeline")
 
+    if args.dump_parts and not args.excel:
+        p.error("--dump-parts requires --excel workbook")
+
     if args.convert_bom:
         if not args.bom:
             p.error("--convert-bom requires --bom CSV")

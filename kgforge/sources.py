@@ -226,8 +226,29 @@ def read_bom_csv_by_name(
     for c in df.columns:
         cond = F.trim(F.col(c)).eqNullSafe(F.lit(str(c).strip()))
         header_mirror = cond if header_mirror is None else (header_mirror & cond)
+    # the reference additionally drops a FIRST row whose values are a
+    # superset of the two name-column headers (:264-268) — so a leaked
+    # header row whose extra cells parsed as null (trailing commas)
+    # would survive the all-columns mirror above and become a bogus
+    # name edge. Distributed form: also drop rows whose name cells both
+    # mirror their headers AND whose every other column is null or
+    # mirrors its header. Residual divergence (documented): a first row
+    # with header name cells plus a DIVERGENT non-null extra cell is
+    # dropped by the reference (first-row superset) but kept here — in
+    # a distributed read that row is indistinguishable from a
+    # legitimate part actually named 'Parent Name' appearing anywhere
+    # in the file, and keeping it matches the reference's own handling
+    # of every row past the first.
+    name_header_mirror = F.trim(F.col(p_col)).eqNullSafe(
+        F.lit(str(p_col).strip())
+    ) & F.trim(F.col(c_col)).eqNullSafe(F.lit(str(c_col).strip()))
+    for c in df.columns:
+        if c in (p_col, c_col):
+            continue
+        other_ok = F.col(c).isNull() | F.trim(F.col(c)).eqNullSafe(F.lit(str(c).strip()))
+        name_header_mirror = name_header_mirror & other_ok
     pairs = (
-        df.filter(~header_mirror)
+        df.filter(~header_mirror & ~name_header_mirror)
         .select(
             F.trim(F.col(p_col)).alias("p_name"), F.trim(F.col(c_col)).alias("c_name")
         )
@@ -736,7 +757,13 @@ def read_api_pages_distributed(
     window end when every page was full, so a caller loops windows
     (passing ``next_page`` back as ``start_page``) until a window comes
     back short, checkpointing the cursor between pulls exactly like the
-    sequential reader's.
+    sequential reader's. The returned frame is FILTERED to
+    ``_page < next_page``: when a mid-window page came back short while
+    later pages still returned rows (appends racing the pull), rows past
+    the cursor are excluded so resuming at ``next_page`` never
+    re-ingests them. The frame is cached (that is what makes the
+    page-count pass and the caller's consumption read the same fetch) —
+    callers should ``.unpersist()`` it once consumed.
     """
     import pandas as pd  # noqa: PLC0415 — executor-side import partner
 
@@ -760,8 +787,8 @@ def read_api_pages_distributed(
                     rows.append([r.get(n) for n in names] + [int(page)])
             yield pd.DataFrame(rows, columns=[*names, "_page"])
 
-    df = pages.mapInPandas(fetch_pages, out_schema).cache()
-    per_page = {r["_page"]: r["n"] for r in df.groupBy("_page").agg(F.count("*").alias("n")).collect()}
+    raw = pages.mapInPandas(fetch_pages, out_schema).cache()
+    per_page = {r["_page"]: r["n"] for r in raw.groupBy("_page").agg(F.count("*").alias("n")).collect()}
     # cursor = page after the first non-full page (the page the
     # sequential reader consumed last before stopping), or the window
     # end when every page was full
@@ -770,4 +797,9 @@ def read_api_pages_distributed(
         full_through = p + 1
         if per_page.get(p, 0) < page_size:
             break
+    # drop rows past the cursor (racing-append duplicates on resume),
+    # re-cache the consumable frame, and release the raw fetch cache
+    df = raw.filter(F.col("_page") < F.lit(full_through)).cache()
+    df.count()
+    raw.unpersist()
     return df, full_through

@@ -42,15 +42,23 @@ def _col_index(ref: str) -> int:
 
 
 def _si_text(si: ET.Element) -> str:
-    """Concatenate the text runs of a shared-string item (skip phonetic runs)."""
+    """Concatenate the text runs of a shared-string item (skip phonetic runs).
+
+    Pure recursive walk — phonetic annotation subtrees (rPh/phoneticPr,
+    display hints, not cell content) are skipped rather than removed, so
+    the tree is never mutated while being traversed (ElementTree leaves
+    mutation-during-iteration undefined)."""
     parts: List[str] = []
-    for el in si.iter():
+
+    def walk(el: ET.Element) -> None:
+        if el.tag in (_NS + "rPh", _NS + "phoneticPr"):
+            return
         if el.tag == _NS + "t":
             parts.append(el.text or "")
-        elif el.tag in (_NS + "rPh", _NS + "phoneticPr"):
-            # phonetic annotations are display hints, not cell content
-            for sub in list(el):
-                el.remove(sub)
+        for child in el:
+            walk(child)
+
+    walk(si)
     return "".join(parts)
 
 

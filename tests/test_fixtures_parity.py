@@ -361,6 +361,8 @@ def test_read_bom_csv_by_name_resolution_semantics(spark, sf_dir, tmp_path):
     p2.write_text(
         "Parent Name,Child Name,Note\n"
         "Parent Name,Child Name,Note\n"   # true header dup -> drops
+        "Parent Name,Child Name,\n"       # leaked header, Note parsed null
+                                          # (reference superset drop) -> drops
         "Parent Name,Child Name,real\n"   # legit row, Note differs -> kept
     )
     got2 = {
