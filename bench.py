@@ -322,9 +322,34 @@ def run_flagship(cores: int) -> dict:
         def resize_run():
             return mm.resize_images(mm.attach_media(docs_wide), 8, 8).count()
 
-        for tag, runner in (("dedup_clusters", dedup_clusters_run), ("resize", resize_run)):
+        # the composed curation pipeline — the product stage; cached
+        # boundaries mean the timed figure is one pass per subtree
+        from kgforge.datapipe import curate as cu
+
+        def curate_run():
+            kept, _funnel = cu.curate_corpus(
+                dd.docs_with_dups(docs),
+                lang="en",
+                min_tokens=3,
+                dedup="cluster",
+                span_min_docs=2,
+            )
+            n = kept.count()
+            kept.unpersist()
+            return n
+
+        # curate runs ONE lap: at 8x it is minutes of work per level, and
+        # a single lap is conservative for the efficiency ratio — the
+        # one-time driver-side plan/codegen cost it carries is the same
+        # at both levels, which can only UNDERSTATE t2/t8 (never inflate
+        # the reported scaling)
+        for tag, runner, n_laps in (
+            ("dedup_clusters", dedup_clusters_run, 2),
+            ("resize", resize_run, 2),
+            ("curate", curate_run, 1),
+        ):
             times = []
-            for _ in range(2):
+            for _ in range(n_laps):
                 t0 = time.perf_counter()
                 runner()
                 times.append(round(time.perf_counter() - t0, 3))
@@ -426,6 +451,25 @@ def bench_queries() -> dict[str, float]:
         lambda: dd.repeated_spans(dd.docs_with_dups(docs)).count(),
     )
 
+    # the composed product a training-data user actually runs: lang ->
+    # quality -> LSH/CC cluster dedup -> cross-doc span removal, with
+    # cached stage boundaries (curate.py) so each subtree runs once
+    from kgforge.datapipe import curate as cu
+
+    def curate_run():
+        kept, _funnel = cu.curate_corpus(
+            dd.docs_with_dups(docs),
+            lang="en",
+            min_tokens=3,
+            dedup="cluster",
+            span_min_docs=2,
+        )
+        n = kept.count()
+        kept.unpersist()
+        return n
+
+    timed("curate_corpus", curate_run)
+
     from kgforge.datapipe import multimodal as mm
 
     timed(
@@ -482,6 +526,7 @@ def main() -> None:
             "relational": {},
             "dedup_clusters": {},
             "resize": {},
+            "curate": {},
         }
         for rep in range(reps):
             order = (2, 8) if rep % 2 == 0 else (8, 2)

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from kgforge import pipeline, sources
 
@@ -201,3 +202,124 @@ def test_sniffed_parts_recover_header_at_row_zero(spark):
     assert flag is not None and flag["name"] == "STEALTH FUSELAGE ASSEMBLY"
     # sniffed mode is a no-op on standard-layout workbooks
     assert sources.read_excel_parts(spark, SNOWMOBILE, sniffed=True).count() == 939
+
+
+HELI_BOM_CSV = "/root/reference/data/Helicopter_bom.csv"
+BOM_ANALYSIS_JSON = "/root/reference/data/helicopter_bom_analysis.json"
+CHANGE_ANALYSIS_JSON = "/root/reference/data/helicopter_change_analysis.json"
+
+
+@pytest.mark.skipif(not os.path.exists(BOM_ANALYSIS_JSON), reason="dataset absent")
+def test_bom_summary_matches_shipped_analysis_json(spark):
+    """analysis.bom_name_summary on the real Helicopter_bom.csv must
+    reproduce the reference's OWN shipped analysis artifact
+    (data/helicopter_bom_analysis.json, written by
+    scripts/data_processing/analyze_helicopter_data.py). pandas
+    value_counts breaks count ties by first appearance while the Spark
+    top-k breaks them by name, so the top_parents comparison is
+    per-name count equality plus count-multiset equality — order-free,
+    value-exact."""
+    import json
+
+    from kgforge import analysis
+
+    got = analysis.bom_name_summary(spark, HELI_BOM_CSV)
+    with open(BOM_ANALYSIS_JSON) as f:
+        want = json.load(f)
+    assert got["total_relationships"] == want["total_relationships"] == 2072
+    assert got["unique_parents"] == want["unique_parents"] == 786
+    assert got["unique_children"] == want["unique_children"] == 930
+    assert sorted(got["top_parents"].values()) == sorted(want["top_parents"].values())
+    # every parent the reference names must carry the same child count
+    full = {
+        r["parent"]: r["n_children"]
+        for r in spark.read.option("header", True)
+        .csv(HELI_BOM_CSV)
+        .groupBy(F.col("Parent Name").alias("parent"))
+        .count()
+        .withColumnRenamed("count", "n_children")
+        .collect()
+    }
+    for name, n in want["top_parents"].items():
+        assert full[name] == n
+
+
+@pytest.mark.skipif(not os.path.exists(CHANGE_ANALYSIS_JSON), reason="dataset absent")
+def test_change_analysis_matches_shipped_json(spark):
+    """analysis.change_analysis_summary on the real Helicopter.xlsx must
+    reproduce the shipped helicopter_change_analysis.json's
+    analysis_summary (53 parts / 709 change records), and the 53
+    matched parts must be the SAME rows — (number, name) multiset
+    equality against the JSON's helicopter_parts list (double-counting
+    across the name- and number-criteria preserved, exactly like the
+    reference's two extends). The JSON's change_model block is a
+    hardcoded catalog in the reference script (not data-derived), so
+    it has no Spark analogue — documented in kgforge/analysis.py."""
+    import json
+    from collections import Counter
+
+    from kgforge import analysis
+
+    got = analysis.change_analysis_summary(spark, HELICOPTER)
+    with open(CHANGE_ANALYSIS_JSON) as f:
+        want = json.load(f)
+    assert got["total_helicopter_parts"] == want["analysis_summary"]["total_helicopter_parts"] == 53
+    assert got["total_change_records"] == want["analysis_summary"]["total_change_records"] == 709
+
+    hits = analysis.helicopter_part_hits(spark, HELICOPTER)
+    got_parts = Counter((r["number"], r["name"]) for r in hits.collect())
+    want_parts = Counter(
+        (
+            p["Number"] if isinstance(p["Number"], str) else None,
+            p["Name"] if isinstance(p["Name"], str) else None,
+        )
+        for p in want["helicopter_parts"]
+    )
+    assert got_parts == want_parts
+
+
+@pytest.mark.skipif(not os.path.exists(HELI_IMPORT), reason="dataset absent")
+def test_change_graph_analytics_on_real_changes(spark):
+    """DEPENDS_ON / RELATED_TO over the reference's REAL change set (the
+    694 artifact-matched ChangeInfo records). The shipped
+    change-analysis JSON carries only a static change_model catalog —
+    no pairwise counts — so these goldens are deterministic self-pins
+    (regression values), with the ordering timestamp derived from the
+    revision ordinal because the workbook ships no change dates
+    (documented non-derivable, like the Snowmobile 92-triple residue).
+    """
+    from kgforge import graph
+
+    ch = sources.read_excel_changes(spark, HELI_IMPORT).filter(
+        "source_sheet = 'ChangeInfo-Sheet'"
+    )
+    # Windchill-style revision ordinal: '-' (initial) < numeric < letter
+    # revisions — deterministic, documented; the workbook has no dates
+    ordinal = F.expr(
+        "CASE WHEN revision = '-' THEN 0 "
+        "WHEN try_cast(revision as int) IS NOT NULL THEN try_cast(revision as int) "
+        "ELSE 10 + ascii(revision) - ascii('A') END"
+    )
+    changes = ch.select(
+        "change_id",
+        F.col("part_number").alias("affected_number"),
+        F.col("state").alias("change_type"),
+        F.date_add(F.lit("1970-01-01").cast("date"), ordinal.cast("int")).alias("ts"),
+    ).cache()
+    # the real change set carries exactly ONE change per part (the 694
+    # artifact-matched records cover 694 distinct parts), so DEPENDS_ON
+    # (same part, ordered) is necessarily empty — a real property of
+    # the dataset, pinned as such
+    assert changes.select("affected_number").distinct().count() == 694
+    dep = graph.depends_on(changes)
+    rel = graph.related_to(changes, dep)
+    n_dep, n_rel = dep.count(), rel.count()
+    assert n_dep == 0
+    # RELATED_TO: same state (the set's only type-like field: RELEASED
+    # 586 / DESIGN 97 / PRODUCTIONCHANGE 11), strictly-later revision
+    # ordinal, minus DEPENDS_ON — deterministic self-pin
+    assert n_rel == 613
+    # bounded variants are subsets of the exact semantics
+    dep_b = graph.depends_on(changes, horizon_days=365)
+    assert dep_b.count() <= n_dep
+    assert dep_b.join(dep, ["later", "earlier"], "left_anti").count() == 0
