@@ -423,6 +423,17 @@ def read_excel_parts(
                     part_type,
                 )
             )
+    # the workbook rows are materialized driver-side by design — parts
+    # catalogs are DIMENSION inputs (thousands of rows). Guard the
+    # assumption: someone pointing this at a multi-million-row export
+    # should hit a loud error, not a silent driver OOM; fact-scale part
+    # catalogs belong in the parquet/CSV scans.
+    if len(rows) > 2_000_000:
+        raise ValueError(
+            f"workbook {path!r} yielded {len(rows)} part rows — beyond the "
+            "driver-side dimension-catalog bound (2M); export to CSV/parquet "
+            "and use the distributed scans instead"
+        )
     df = spark.createDataFrame(rows, _PARTS_SCHEMA)
     w = Window.partitionBy("number").orderBy(F.desc("seq"))
     return (
@@ -588,7 +599,9 @@ def read_excel_describe_links(
 _CHANGE_KEYWORDS = ("Change", "Revision", "Version", "State")
 
 
-def read_excel_changes(spark: SparkSession, path: str) -> DataFrame:
+def read_excel_changes(
+    spark: SparkSession, path: str, render_dates: bool = False
+) -> DataFrame:
     """Change-record scan over a workbook — the reference's
     ``_extract_change_information``
     (src/importers/helicopter_change_importer.py:178-217): per sheet,
@@ -612,7 +625,10 @@ def read_excel_changes(spark: SparkSession, path: str) -> DataFrame:
     """
     from kgforge import xlsx
 
-    wb = xlsx.read_workbook(path)
+    # render_dates: temporal exports style change dates as date cells;
+    # opt-in ISO rendering (xlsx module docstring) keeps them parseable
+    # downstream (normalize date parse, P13) instead of serial floats
+    wb = xlsx.read_workbook(path, render_dates=render_dates)
     rows: list[tuple] = []
     for sheet_name, grid in wb.items():
         header_idx = None

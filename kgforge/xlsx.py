@@ -14,13 +14,20 @@ openpyxl dependency.
 Scale note: workbooks are *dimension* inputs (parts catalogs, link sheets —
 thousands of rows), read once on the driver and broadcast/parallelized into
 a DataFrame; the fact-side scale path (transcript corpora) never flows
-through here.  Dates are left as raw Excel serial floats (the reference's
-parsed columns — Number/Name/Type/Source/View/State/Revision/Container —
-are all text; documented divergence).
+through here.  By default dates are left as raw Excel serial floats (the
+reference's parsed columns — Number/Name/Type/Source/View/State/Revision/
+Container — are all text); ``render_dates=True`` opts into ISO rendering:
+the cell-style table (``xl/styles.xml`` cellXfs -> numFmtId, builtin
+date ids + y/m/d/h/s tokens in custom format codes) decides which numeric
+cells are dates, and both the 1900 epoch (with Excel's phantom
+1900-02-29 handled the conventional way) and the ``workbookPr date1904``
+epoch are supported — what temporal exports (the reference's
+scripts/import_temporal_history.py inputs) need.
 """
 
 from __future__ import annotations
 
+import datetime as _dt
 import re
 import zipfile
 import xml.etree.ElementTree as ET
@@ -71,7 +78,70 @@ def _load_shared_strings(zf: zipfile.ZipFile) -> List[str]:
     return [_si_text(si) for si in root.findall(_NS + "si")]
 
 
-def _cell_value(cell: ET.Element, shared: List[str]):
+# Builtin numFmtIds that render as dates/times (ECMA-376 §18.8.30).
+_DATE_BUILTIN_FMT_IDS = frozenset(
+    list(range(14, 23)) + list(range(27, 37)) + [45, 46, 47] + list(range(50, 59))
+)
+# inside a custom format code, quoted literals, [..] prefixes
+# (colors/locales/elapsed), and backslash-escaped chars are NOT tokens
+_FMT_NOISE_RE = re.compile(r'"[^"]*"|\[[^\]]*\]|\\.')
+_FMT_DATE_TOKEN_RE = re.compile(r"[dmhysDMHYS]")
+
+
+def _is_date_format(code: str) -> bool:
+    return bool(_FMT_DATE_TOKEN_RE.search(_FMT_NOISE_RE.sub("", code)))
+
+
+def _load_date_styles(zf: zipfile.ZipFile) -> List[bool]:
+    """Per-cellXf flag: does style index s render numerics as dates?"""
+    try:
+        root = ET.fromstring(zf.read("xl/styles.xml"))
+    except KeyError:
+        return []
+    custom_date_ids = set()
+    num_fmts = root.find(_NS + "numFmts")
+    if num_fmts is not None:
+        for nf in num_fmts.findall(_NS + "numFmt"):
+            if _is_date_format(nf.get("formatCode", "")):
+                custom_date_ids.add(int(nf.get("numFmtId", "-1")))
+    flags: List[bool] = []
+    cell_xfs = root.find(_NS + "cellXfs")
+    if cell_xfs is not None:
+        for xf in cell_xfs.findall(_NS + "xf"):
+            fmt_id = int(xf.get("numFmtId", "0"))
+            flags.append(fmt_id in _DATE_BUILTIN_FMT_IDS or fmt_id in custom_date_ids)
+    return flags
+
+
+def _is_date1904(wb_root: ET.Element) -> bool:
+    pr = wb_root.find(_NS + "workbookPr")
+    return pr is not None and pr.get("date1904", "0").lower() in ("1", "true")
+
+
+def _serial_to_iso(serial: float, date1904: bool) -> str:
+    """Excel serial -> ISO string; date-only when midnight. 1900 epoch:
+    serial 1 = 1900-01-01; serials past the phantom 1900-02-29 (60) are
+    offset from 1899-12-30 — the conventional reconciliation."""
+    if date1904:
+        base = _dt.datetime(1904, 1, 1)
+    elif serial < 60:
+        base = _dt.datetime(1899, 12, 31)
+    else:
+        base = _dt.datetime(1899, 12, 30)
+    days = int(serial)
+    secs = round((serial - days) * 86400)
+    dt = base + _dt.timedelta(days=days, seconds=secs)
+    if dt.time() == _dt.time(0, 0):
+        return dt.date().isoformat()
+    return dt.isoformat(sep=" ")
+
+
+def _cell_value(
+    cell: ET.Element,
+    shared: List[str],
+    date_styles: Optional[List[bool]] = None,
+    date1904: bool = False,
+):
     ctype = cell.get("t", "n")
     if ctype == "inlineStr":
         is_el = cell.find(_NS + "is")
@@ -89,14 +159,28 @@ def _cell_value(cell: ET.Element, shared: List[str]):
     if ctype == "e":
         return None
     # numeric: keep float (pandas reads numerics as float64 once NaN-padded;
-    # normalize_part_number handles integer-valued floats)
+    # normalize_part_number handles integer-valued floats) — unless the
+    # caller opted into date rendering and this cell's style is a date
     try:
-        return float(raw)
+        num = float(raw)
     except ValueError:
         return raw
+    if date_styles:
+        s_attr = cell.get("s")
+        if s_attr is not None:
+            s_idx = int(s_attr)
+            if 0 <= s_idx < len(date_styles) and date_styles[s_idx]:
+                return _serial_to_iso(num, date1904)
+    return num
 
 
-def _sheet_grid(zf: zipfile.ZipFile, member: str, shared: List[str]) -> List[List]:
+def _sheet_grid(
+    zf: zipfile.ZipFile,
+    member: str,
+    shared: List[str],
+    date_styles: Optional[List[bool]] = None,
+    date1904: bool = False,
+) -> List[List]:
     root = ET.fromstring(zf.read(member))
     data = root.find(_NS + "sheetData")
     if data is None:
@@ -116,7 +200,7 @@ def _sheet_grid(zf: zipfile.ZipFile, member: str, shared: List[str]) -> List[Lis
             else:
                 col = next_col
             next_col = col + 1
-            val = _cell_value(c_el, shared)
+            val = _cell_value(c_el, shared, date_styles, date1904)
             if val is not None:
                 cells[col] = val
                 if col > max_col:
@@ -141,15 +225,19 @@ def sheet_names(path: str) -> List[str]:
         return [s.get("name", "") for s in sheets.findall(_NS + "sheet")]
 
 
-def read_workbook(path: str) -> Dict[str, List[List]]:
+def read_workbook(path: str, render_dates: bool = False) -> Dict[str, List[List]]:
     """Read every sheet of an .xlsx into {sheet_name: grid-of-values}.
 
     Grid cells are str / float / bool / None; rows are padded to the sheet's
     max used width.  Sheet order follows the workbook's declared order.
+    ``render_dates=True`` renders date-styled numeric cells as ISO strings
+    (module docstring) instead of raw serial floats.
     """
     with zipfile.ZipFile(path) as zf:
         shared = _load_shared_strings(zf)
         wb_root = ET.fromstring(zf.read("xl/workbook.xml"))
+        date_styles = _load_date_styles(zf) if render_dates else None
+        date1904 = _is_date1904(wb_root) if render_dates else False
         rels_root = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
         rel_target: Dict[str, str] = {}
         for rel in rels_root.findall(_PKG_REL + "Relationship"):
@@ -165,7 +253,11 @@ def read_workbook(path: str) -> Dict[str, List[List]]:
             name = sheet.get("name", "")
             rid = sheet.get(_RNS + "id")
             member = rel_target.get(rid or "", "")
-            out[name] = _sheet_grid(zf, member, shared) if member else []
+            out[name] = (
+                _sheet_grid(zf, member, shared, date_styles, date1904)
+                if member
+                else []
+            )
         return out
 
 
@@ -231,13 +323,15 @@ class Table:
         return list(self.rows[0]) if self.rows else []
 
 
-def load_table(path: str, sheet: str, skiprows: int = 4) -> Optional[Table]:
+def load_table(
+    path: str, sheet: str, skiprows: int = 4, render_dates: bool = False
+) -> Optional[Table]:
     """Reference read pattern: try skiprows, fall back to a plain read if empty.
 
     Mirrors spreadsheet_loader.py:59-61 — ``pd.read_excel(..., skiprows=4)``
     then, if the frame is empty or has no columns, a re-read with no skip.
     """
-    wb = read_workbook(path)
+    wb = read_workbook(path, render_dates=render_dates)
     if sheet not in wb:
         return None
     grid = wb[sheet]
