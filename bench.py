@@ -338,15 +338,10 @@ def run_flagship(cores: int) -> dict:
             kept.unpersist()
             return n
 
-        # curate runs ONE lap: at 8x it is minutes of work per level, and
-        # a single lap is conservative for the efficiency ratio — the
-        # one-time driver-side plan/codegen cost it carries is the same
-        # at both levels, which can only UNDERSTATE t2/t8 (never inflate
-        # the reported scaling)
         for tag, runner, n_laps in (
             ("dedup_clusters", dedup_clusters_run, 2),
             ("resize", resize_run, 2),
-            ("curate", curate_run, 1),
+            ("curate", curate_run, 2),
         ):
             times = []
             for _ in range(n_laps):

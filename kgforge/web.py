@@ -163,6 +163,20 @@ def make_handler(data_dir: str, registry: JobRegistry):
             if not os.path.exists(excel_path):
                 self._json(404, {"error": f"Excel file not found: {config['excelFile']}"})
                 return
+            # reference validator bounds (src/core/validation.py:295-311):
+            # batchSize must be a positive int <= 10,000
+            if "batchSize" in config:
+                try:
+                    batch = int(config["batchSize"])
+                except (TypeError, ValueError):
+                    self._json(400, {"error": "Batch size must be an integer"})
+                    return
+                if batch <= 0:
+                    self._json(400, {"error": "Batch size must be positive"})
+                    return
+                if batch > 10000:
+                    self._json(400, {"error": "Batch size too large (max 10000)"})
+                    return
             cmd = [sys.executable, "-m", "kgforge.pipeline", "--excel", excel_path]
             if config.get("outDir"):
                 out_dir = os.path.realpath(str(config["outDir"]))

@@ -83,6 +83,19 @@ def test_import_validation(server):
     # unknown job id
     code, body = _get(f"{server}/api/jobs/job-9999")
     assert code == 404
+    # reference validator bounds (src/core/validation.py:295-311)
+    code, body = _post(
+        f"{server}/api/import", {"excelFile": "Mower.xlsx", "batchSize": 20000}
+    )
+    assert code == 400 and "max 10000" in body["error"]
+    code, body = _post(
+        f"{server}/api/import", {"excelFile": "Mower.xlsx", "batchSize": 0}
+    )
+    assert code == 400 and "positive" in body["error"]
+    code, body = _post(
+        f"{server}/api/import", {"excelFile": "Mower.xlsx", "batchSize": "abc"}
+    )
+    assert code == 400 and "integer" in body["error"]
 
 
 def test_import_job_runs_to_completion(server):
