@@ -117,7 +117,15 @@ def make_handler(data_dir: str, registry: JobRegistry):
             self.wfile.write(body)
 
         def do_GET(self) -> None:
-            if self.path == "/api/health":
+            if self.path in ("/api/graphdb-repositories", "/api/neo4j-databases"):
+                # reference web_server.py:109-114 / :174-176 — discovery
+                # endpoints degrade to [] when the backing store is
+                # unreachable (no GraphDB/Neo4j in this deployment; the
+                # delivery legs live in kgforge.connector)
+                self._json(200, [])
+            elif self.path == "/api/jobs":
+                self._json(200, {"jobs": registry.count()})
+            elif self.path == "/api/health":
                 self._json(
                     200,
                     {"status": "healthy", "data_dir": data_dir, "jobs": registry.count()},

@@ -67,6 +67,11 @@ def test_health_and_file_listing(server):
     assert code == 200
     assert "Mower.xlsx" in files and "Snowmobile.xlsx" in files
     assert files == sorted(files)
+    # discovery endpoints degrade to [] with no backing store
+    # (reference web_server.py:109-114 / :174-176)
+    for ep in ("graphdb-repositories", "neo4j-databases"):
+        code, body = _get(f"{server}/api/{ep}")
+        assert code == 200 and body == []
 
 
 def test_import_validation(server):
