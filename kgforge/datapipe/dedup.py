@@ -111,6 +111,62 @@ def minhash_signatures(
     )
 
 
+def minhash_band_keys(
+    documents: DataFrame,
+    k: int = DEFAULT_SHINGLE_K,
+    n_hashes: int = DEFAULT_NUM_HASHES,
+    band_size: int = DEFAULT_BAND_SIZE,
+) -> DataFrame:
+    """(doc_id, band, band_key) in ONE shuffle: ``n_hashes`` min
+    aggregates over the raw shingle explode, banded into keys as column
+    expressions.
+
+    Row-identical to banding :func:`minhash_signatures` (the r5 shape)
+    but three shuffles cheaper (guide §2.4 — remove shuffles outright):
+
+    - the per-doc shingle ``dropDuplicates`` is dropped — min over a
+      multiset equals min over its distinct set, so the extra exchange
+      bought nothing;
+    - the 16x seed explode + groupBy(doc_id, seed) collapses into 16
+      ``min`` aggregates in a single map-side-combined groupBy(doc_id)
+      — 16x fewer rows cross the wire, one exchange instead of two;
+    - the band groupBy(doc_id, band) + sorted collect_list becomes a
+      pure projection over the 16 signature columns (the old
+      sort_array(collect_list(struct(seed, sig))) in seed order is
+      exactly the column order here), then one posexplode.
+    """
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+    )
+    sh = documents.select("doc_id", F.explode(grams).alias("shingle")).filter(
+        F.col("shingle") != ""
+    )
+    sigrow = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"s{s}")
+            for s in range(n_hashes)
+        ]
+    )
+    n_bands = (n_hashes + band_size - 1) // band_size
+    band_keys = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"s{s}")
+                        for s in range(b * band_size, min((b + 1) * band_size, n_hashes))
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sigrow.select("doc_id", F.posexplode(band_keys).alias("band", "band_key"))
+
+
 def lsh_candidate_pairs(
     documents: DataFrame,
     k: int = DEFAULT_SHINGLE_K,
@@ -119,29 +175,23 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, hash each band,
     join docs sharing a band bucket. Never materializes all pairs —
-    the scale path for near-dup at 10^9+ docs."""
-    sigs = minhash_signatures(documents, k, n_hashes)
-    bands = (
-        sigs.withColumn("band", (F.col("seed") / band_size).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("seed", "sig"))),
-                        lambda s: s["sig"],
-                    ),
-                )
-            ).alias("band_key")
-        )
-    )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    the scale path for near-dup at 10^9+ docs.
+
+    The bucket self-join aliases ONE plan rather than projecting two
+    renamed copies, so the probe and build sides canonicalize equal and
+    ReuseExchange materializes the signature subtree once (plan-checked:
+    one ReusedExchange node in plans/r06/dedup_minhash_lsh_after.txt).
+    """
+    bands = minhash_band_keys(documents, k, n_hashes, band_size)
+    a, b = bands.alias("a"), bands.alias("b")
     return (
-        a.join(b, ["band", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
 
@@ -187,14 +237,24 @@ def repeated_spans(
     count; a viral shingle skews only its own hash bucket (AQE skew
     split applies), never a pairwise blowup.
     """
-    from pyspark.sql import Window
-
     ps = positional_shingles(documents, k)
     if min_total is not None:
         rep = (
             ps.groupBy("shingle")
             .agg(F.count("*").alias("nt"))
             .filter(F.col("nt") >= min_total)
+            .select("shingle")
+        )
+    elif min_docs == 2:
+        # count_distinct(doc_id) >= 2  <=>  min(doc_id) != max(doc_id):
+        # two plain min/max partial aggregates shuffle a pair of longs
+        # per (shingle, partition) instead of the distinct-aggregate's
+        # per-partition doc-id dedup state (guide §2.3 — aggregate
+        # before you shuffle, and shuffle fewer bytes).
+        rep = (
+            ps.groupBy("shingle")
+            .agg(F.min("doc_id").alias("d0"), F.max("doc_id").alias("d1"))
+            .filter(F.col("d0") != F.col("d1"))
             .select("shingle")
         )
     else:
@@ -205,16 +265,29 @@ def repeated_spans(
             .select("shingle")
         )
     marked = ps.join(rep, "shingle").select("doc_id", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    islands = marked.withColumn("island", F.col("pos") - F.row_number().over(w))
-    return (
-        islands.groupBy("doc_id", "island")
-        .agg(
-            F.min("pos").cast("bigint").alias("span_start"),
-            (F.max("pos") + F.lit(k - 1)).cast("bigint").alias("span_end"),
-            F.count("*").alias("n_grams"),
-        )
-        .drop("island")
+    # gaps-and-islands per doc as ONE groupBy + array run-split: the
+    # marked positions are distinct ints per doc, so maximal runs of
+    # consecutive positions are read off the sorted array (run starts =
+    # elements whose predecessor isn't value-1, run ends symmetric; run
+    # length = end - start + 1). This replaces the r5 window
+    # (Exchange+Sort) + second hash aggregate (second Exchange on
+    # (doc_id, island)) with a single Exchange on doc_id (guide §2.4);
+    # arrays are document-sized, never corpus-sized.
+    per_doc = marked.groupBy("doc_id").agg(F.array_sort(F.collect_list("pos")).alias("mp"))
+    arr = F.col("mp")
+    starts = F.filter(arr, lambda x, i: F.coalesce(F.get(arr, i - 1) != x - 1, F.lit(True)))
+    ends = F.filter(arr, lambda x, i: F.coalesce(F.get(arr, i + 1) != x + 1, F.lit(True)))
+    spans = F.zip_with(
+        starts,
+        ends,
+        lambda s, e: F.struct(
+            s.cast("bigint").alias("span_start"),
+            (e + F.lit(k - 1)).cast("bigint").alias("span_end"),
+            (e - s + 1).cast("bigint").alias("n_grams"),
+        ),
+    )
+    return per_doc.select("doc_id", F.explode(spans).alias("sp")).select(
+        "doc_id", "sp.span_start", "sp.span_end", "sp.n_grams"
     )
 
 
@@ -279,7 +352,9 @@ def remove_repeated_spans(
 # ------------------------------------------------------------------ SimHash
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens with md5-derived token
-    hashes (deterministic across machines — no Python hash())."""
+    hashes (deterministic across machines — no Python hash()). The
+    per-row reference form; the vectorized batch kernel below is
+    pytest-pinned equal to it."""
     vec = [0] * 64
     for tok in (text or "").lower().split():
         h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
@@ -292,9 +367,60 @@ def simhash64(text: str) -> int:
     return out - (1 << 63)  # two's complement into signed int64
 
 
+# Worker-process token-hash cache: natural-language tokens repeat
+# heavily, and the simhash self-join evaluates the UDF subtree twice, so
+# a reused Python worker pays each distinct token's md5 once (guide
+# §4.5: heavyweight state once per task/worker, amortized across
+# batches). Bounded so a pathological vocabulary cannot grow without
+# limit.
+_SIMHASH_TOKEN_CACHE: dict[str, int] = {}
+_SIMHASH_CACHE_MAX = 1_000_000
+
+
+def _token_hash(tok: str) -> int:
+    h = _SIMHASH_TOKEN_CACHE.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        if len(_SIMHASH_TOKEN_CACHE) >= _SIMHASH_CACHE_MAX:
+            _SIMHASH_TOKEN_CACHE.clear()
+        _SIMHASH_TOKEN_CACHE[tok] = h
+    return h
+
+
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Vectorized SimHash: one numpy bit-matrix reduction per batch
+    instead of a 64-iteration Python loop per token (guide §4.2 — hand
+    whole batches to vectorized native code). Bit-identical to
+    :func:`simhash64`: same md5-derived token hashes, same sign rule
+    (ones*2 > n_tokens), same two's-complement packing."""
+    import itertools
+
+    import numpy as np
+
+    toks_list = [(t or "").lower().split() for t in texts]
+    lens = np.fromiter((len(x) for x in toks_list), dtype=np.int64, count=len(toks_list))
+    out = np.zeros(len(toks_list), dtype=np.uint64)
+    nonempty = np.flatnonzero(lens > 0)
+    if nonempty.size:
+        flat = list(itertools.chain.from_iterable(toks_list))
+        hs = np.fromiter(
+            (_token_hash(tok) for tok in flat), dtype=np.uint64, count=len(flat)
+        )
+        shifts = np.arange(64, dtype=np.uint64)
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        ends = np.cumsum(lens)
+        starts = (ends - lens)[nonempty]
+        ones = np.add.reduceat(bits, starts, axis=0)  # rows align with nonempty
+        # vec[bit] > 0  <=>  2*ones > n_tokens (exact integer arithmetic)
+        signs = (2 * ones) > lens[nonempty, None]
+        out[nonempty] = (signs.astype(np.uint64) << shifts).sum(axis=1, dtype=np.uint64)
+    # uint64 wraparound == two's complement: (out - 2^63) viewed as int64
+    return pd.Series((out - np.uint64(1 << 63)).view(np.int64))
+
+
 @pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(simhash64)
+    return _simhash_batch(texts)
 
 
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:

@@ -158,32 +158,66 @@ class ClosureNotConverged(RuntimeError):
     64-iteration cap lost 37 deep pairs at sf0.1)."""
 
 
+# Broadcast the doubling frontier only while it is provably small; a
+# frontier row is (p, c, dist) = 3 longs, so 1M rows is ~40 MB framed —
+# comfortably under the 8 GB broadcast cap with headroom for executors.
+CLOSURE_BROADCAST_MAX_ROWS = int(
+    __import__("os").environ.get("KGFORGE_CLOSURE_BCAST_ROWS", "1000000")
+)
+
+
 # ------------------------------------------------------------------ closure
 def transitive_closure(
     edges: DataFrame, max_iterations: int = 24, stats: dict | None = None
 ) -> DataFrame:
-    """G4: all reachable (ancestor, descendant) pairs — **delta**
-    path-doubling fixpoint: covered path lengths still double each round
-    (convergence in ceil(log2(diameter)) iterations), but each round
-    joins only the *newly discovered* pairs against the closure instead
-    of closure ⋈ closure.
+    """G4: all reachable (ancestor, descendant) pairs — **exact-prefix**
+    delta path-doubling: covered path lengths double each round
+    (convergence in ceil(log2(diameter)) iterations), and each round
+    joins only the pairs at shortest distance *exactly* 2^k against the
+    closure.
 
-    Correctness of the delta form: let D_k = pairs whose shortest path
-    length lies in (2^(k-1), 2^k] and C_k = pairs with length <= 2^k.
-    Any shortest path of length L in (2^k, 2^(k+1)] splits at position
-    2^k into a prefix that is itself a shortest path of length 2^k
-    (subpaths of shortest paths are shortest, so the prefix pair is in
-    D_k) and a suffix of length L - 2^k <= 2^k (in C_k). Hence
-    C_(k+1) = C_k ∪ (D_k ∘ C_k) — one |D|x|C| join per round instead of
-    the |C|x|C| join whose pre-dedup intermediate is path-count-sized
-    (the round-1 scale-killer: 63% of suite wall-time).
+    Correctness: let C_k = pairs at shortest distance <= 2^k and
+    X_k = pairs at distance exactly 2^k. A shortest path of length
+    L in (2^k, 2^(k+1)] splits at position 2^k into a prefix that is
+    itself a shortest path of length exactly 2^k (subpaths of shortest
+    paths are shortest, so the prefix pair is in X_k) and a suffix of
+    length L - 2^k <= 2^k (in C_k). Hence C_(k+1) = C_k ∪ (X_k ∘ C_k),
+    and the min over witnesses of (2^k + suffix_dist) for a new pair is
+    exactly its shortest distance, so X_(k+1) is read off the new
+    pairs' dist column. Restricting the left side from the previous
+    round's whole delta D_k (distances (2^(k-1), 2^k]) to X_k is the
+    r6 blowup fix: the D_k ∘ C_k witness intermediate measured 89M
+    pre-dedup rows for a 1.12M-pair closure (80x redundancy, 60M in one
+    round); X_k ∘ C_k with per-pair min-dist dedup cut the loop 2.4x
+    (guide §3.3 — an exploding join is a plan problem, shrink the side
+    that multiplies).
+
+    Loop hygiene (measured, same round-6 pass):
+
+    - node ids: endpoints are dictionary-encoded to dense longs before
+      the loop and decoded after (guide §2.3 "narrower types" — string
+      join keys were the per-row constant everywhere in the loop);
+    - the frontier X_k is tiny relative to the closure (the exact-2^k
+      distance class), so while its measured count stays under
+      :data:`CLOSURE_BROADCAST_MAX_ROWS` it is broadcast and the
+      closure is NOT shuffled for the grow join (guide §3.1 — pick the
+      strategy from known runtime sizes, not estimates);
+    - termination is X_k = ∅, one round earlier than the old
+      delta-empty check: if any pair had distance > 2^k its exact-2^k
+      prefix would exist, so an empty exact class proves completeness;
+    - AQE stays ON at the session's parallelism: with the frontier
+      broadcast the per-round shuffles are the min-dist aggregate and
+      the anti-join, where runtime coalescing/skew-splitting measured
+      faster than the r5 fixed-8-partition/AQE-off configuration.
 
     Semantics match the reference DFS (:980-1024): every (desc, anc)
-    with a path of >=1 edge; cycles converge because new pairs are
-    anti-joined against the accumulated closure (monotone); reference
+    with a path of >=1 edge; cycles converge (shortest distances are
+    finite and the anti-join keeps the loop monotone); reference
     self-pairs inside cycles are reproduced naturally (A->B->A yields
     (A,A)). Pairs are oriented (parent, child) = (ancestor,
-    descendant); the partOfAssembly triple emitter flips them.
+    descendant); the partOfAssembly triple emitter flips them. Edges
+    with a NULL endpoint are preserved as pairs but never join through
+    NULL — exactly the old string-keyed equi-join behavior.
 
     2^24 path length is unreachable in practice; hitting the cap raises
     instead of silently truncating (a 64-round semi-naive cap once lost
@@ -193,43 +227,95 @@ def transitive_closure(
     and per-round delta sizes — for scale-curve evidence
     (scripts/closure_scale_curve.py). Costs one count per round; leave
     None in production.
-
-    At scale: each iteration is one shuffle join of the (shrinking)
-    delta against the closure; localCheckpoint per delta keeps lineage
-    flat, and the closure is a union of ~log(diameter) checkpointed
-    deltas. AQE is disabled only while the input is small enough that
-    per-round adaptive re-planning costs more than it saves; once the
-    loop's shuffles use the session's full parallelism (the cluster
-    case), AQE stays on so skewed hub keys get split at runtime.
     """
     spark = edges.sparkSession
-    base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
-    # closure cardinality runs ~an order of magnitude past the edge
-    # count on BOM-like graphs; size the loop's shuffles for that
-    parts = _fixpoint_partitions(spark, base.count() * 8)
+    with _constraint_propagation_off(spark):
+        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        # Dictionary-encode node labels to dense longs: ids are assigned
+        # once on the materialized node set (monotonically_increasing_id
+        # over a checkpoint is frozen), the loop runs on (long, long)
+        # pairs, and labels are re-attached after the fixpoint.
+        nodes = (
+            base.select(F.col("parent").alias("node"))
+            .unionByName(base.select(F.col("child").alias("node")))
+            .dropDuplicates()
+        )
+        ids = nodes.withColumn("id", F.monotonically_increasing_id()).localCheckpoint(
+            eager=True
+        )
+        null_id_rows = ids.filter(F.col("node").isNull()).collect()
+        null_id = null_id_rows[0]["id"] if null_id_rows else None
+        # the node dictionary's size is KNOWN (materialized) — pick the
+        # encode/decode join strategy from it instead of Catalyst's
+        # no-stats default (guide §3.1): broadcast while it fits,
+        # plain equi-join for genuinely huge node sets.
+        n_ids = ids.count()
+        small_ids = n_ids < CLOSURE_BROADCAST_MAX_ROWS
+        p_ids = ids.select(F.col("node").alias("parent"), F.col("id").alias("p"))
+        c_ids = ids.select(F.col("node").alias("child"), F.col("id").alias("c"))
+        p_dict = F.broadcast(p_ids) if small_ids else p_ids
+        c_dict = F.broadcast(c_ids) if small_ids else c_ids
+        e = (
+            base.join(p_dict, base["parent"].eqNullSafe(p_ids["parent"]), "left")
+            .join(c_dict, base["child"].eqNullSafe(c_ids["child"]), "left")
+            .select("p", "c")
+            .withColumn("dist", F.lit(1).cast("long"))
+            .localCheckpoint(eager=True)
+        )
     configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    with _constraint_propagation_off(spark, parts, aqe_off=parts < configured):
-        closure = base
-        delta = base
+    with _constraint_propagation_off(spark, configured, aqe_off=False):
+        closure = e
+        exact = e
+        n_exact = e.count()
         for i in range(max_iterations):
+            lhs = (
+                F.broadcast(exact)
+                if 0 < n_exact < CLOSURE_BROADCAST_MAX_ROWS
+                else exact
+            )
+            joinable = (
+                F.col("l.c") == F.col("r.p")
+                if null_id is None
+                else (F.col("l.c") == F.col("r.p")) & (F.col("r.p") != F.lit(null_id))
+            )
             grown = (
-                delta.alias("l")
-                .join(closure.alias("r"), F.col("l.child") == F.col("r.parent"))
-                .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
-                .dropDuplicates()
+                lhs.alias("l")
+                .join(closure.alias("r"), joinable)
+                .select(
+                    F.col("l.p").alias("p"),
+                    F.col("r.c").alias("c"),
+                    (F.col("l.dist") + F.col("r.dist")).alias("dist"),
+                )
+                .groupBy("p", "c")
+                .agg(F.min("dist").alias("dist"))
             )
-            new = grown.join(closure, ["parent", "child"], "left_anti").localCheckpoint(
-                eager=True
-            )
+            new = grown.join(closure, ["p", "c"], "left_anti").localCheckpoint(eager=True)
             if new.isEmpty():
                 if stats is not None:
                     stats["rounds"] = i + 1
-                return closure
+                break
             if stats is not None:
                 stats.setdefault("delta_sizes", []).append(new.count())
             closure = closure.unionByName(new)
-            delta = new
-        raise ClosureNotConverged(f"no fixpoint after {max_iterations} doubling rounds")
+            # the next frontier is a cheap filter over the delta's
+            # checkpoint — no extra materialization needed
+            exact = new.filter(F.col("dist") == (1 << (i + 1)))
+            n_exact = exact.count()
+            if n_exact == 0:
+                # no pair at distance exactly 2^(k+1) => none beyond it
+                # (its exact prefix would exist) => closure is complete
+                if stats is not None:
+                    stats["rounds"] = i + 1
+                break
+        else:
+            raise ClosureNotConverged(
+                f"no fixpoint after {max_iterations} doubling rounds"
+            )
+        return (
+            closure.join(p_dict, "p", "left")
+            .join(c_dict, "c", "left")
+            .select("parent", "child")
+        )
 
 
 def transitive_closure_seminaive(
