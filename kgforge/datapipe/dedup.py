@@ -34,11 +34,19 @@ DEFAULT_BAND_SIZE = 4
 def docs_with_dups(documents: DataFrame) -> DataFrame:
     """Duplicate-injected corpus (the sandbox docs are all-distinct):
     every 10th doc is replayed with doc_id + 1,000,000 — deterministic,
-    mirrored in the DuckDB oracle."""
+    mirrored in the DuckDB oracle.
+
+    The result is routed through :func:`kgforge.session.spread_scan`:
+    the sandbox documents table is a single unsplittable row group, so
+    without it every downstream shingle/hash map stage runs as ONE task
+    (measured: the whole dedup section serialized on it); on a real
+    multi-file corpus the guard is a no-op."""
+    from kgforge.session import spread_scan
+
     clones = documents.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
-    return documents.unionByName(clones)
+    return spread_scan(documents.unionByName(clones), "doc_id")
 
 
 def exact_dedup(documents: DataFrame) -> DataFrame:

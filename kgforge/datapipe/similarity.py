@@ -49,10 +49,15 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     """All (query, candidate) cosine similarities; callers rank/filter.
     Deliberately a cross join — the exact-verification arm, never the
     scale path (use lsh_* for that)."""
+    from kgforge.session import spread_scan
+
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
     )
-    c = corpus.select(
+    # the query side broadcasts; the corpus side streams every pair's
+    # dot product, so its (possibly single-task, guide §2.5) scan is
+    # spread before the heavy per-pair arithmetic
+    c = spread_scan(corpus, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
     )
     sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
@@ -179,7 +184,11 @@ def vecs_with_dups(vectors: DataFrame) -> DataFrame:
     random, i.e. no true near-dups — the worst case for any LSH): every
     10th vector is replayed under vec_id + 1,000,000. Deterministic,
     mirrored in the DuckDB oracle; the dedup analogue of
-    dedup.docs_with_dups."""
+    dedup.docs_with_dups. Deliberately NOT routed through spread_scan
+    (unlike docs_with_dups): the signature kernel is one numpy matmul
+    per Arrow batch, so fanning a 2k-row table across 32 tasks trades
+    one efficient batch for 32 Python worker round-trips — measured
+    1.6x slower on embedding_near_dups."""
     clones = vectors.filter(F.col("vec_id") % 10 == 0).withColumn(
         "vec_id", F.col("vec_id") + F.lit(1000000)
     )

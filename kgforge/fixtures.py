@@ -62,11 +62,26 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(pk % 19 == 7, F.concat(pk.cast("string"), F.lit(".0")))
         .otherwise(_entity_name(pk))
     )
-    w_turn = Window.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    # One explicit corpus exchange, keyed by conv_id, issued BEFORE the
+    # dictionary join: it (a) is the Exchange the turn windows need
+    # anyway (conv_id partitions == l_orderkey partitions, so no second
+    # exchange appears), (b) moves the broadcast-join probe and all
+    # text assembly off the scan stage — the sandbox lineitem file is a
+    # single unsplittable row group, so pre-r6 everything up to the
+    # window exchange ran as ONE task (guide §2.5 input skew) — and
+    # (c) leaves the result hash-partitioned by conv_id, which
+    # downstream per-turn aggregations (the bom_edges mention pivot
+    # groupBy(conv_id, turn_idx)) reuse instead of re-shuffling the
+    # mention rows (guide §2.4: two operations keyed the same way share
+    # one exchange). Net: one corpus shuffle where there were two.
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    li = li.withColumn(
+        "conv_id", F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string"))
+    ).repartition(target, "conv_id")
+    w_turn = Window.partitionBy("conv_id").orderBy("l_linenumber", "l_partkey", "l_suppkey")
     base = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .withColumn("turn_idx", (F.row_number().over(w_turn) - F.lit(1)).cast("int"))
-        .withColumn("conv_id", F.concat(F.lit("conv-"), F.col("l_orderkey").cast("string")))
         .withColumn("mention", mention)
         .withColumn("qty", F.floor("l_quantity").cast("bigint"))
     )

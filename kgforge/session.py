@@ -77,3 +77,30 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_scan(df, *keys: str):
+    """Input-parallelism guard (guide §2.5, input skew): when a source
+    plans FEWER scan partitions than half the session's shuffle
+    parallelism — the sandbox fixtures are single-row-group parquet
+    files, an unsplittable 1-task scan — redistribute once by ``keys``
+    so every downstream map stage fans out. A no-op whenever the scan
+    already fans out (any real multi-file table), so at cluster scale
+    this adds nothing; when it does fire, the hash repartition doubles
+    as the exchange any downstream groupBy on the same key needs.
+
+    The partition probe builds the physical RDD but launches no job
+    (the plans this is applied to are scans/unions with no exchanges
+    below them).
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # pragma: no cover — defensive: never break the plan
+        return df
+    if n * 2 <= target:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df
