@@ -185,11 +185,12 @@ def lsh_candidate_pairs(
     join docs sharing a band bucket. Never materializes all pairs —
     the scale path for near-dup at 10^9+ docs.
 
-    The bucket self-join aliases ONE plan rather than projecting two
-    renamed copies, so the probe and build sides canonicalize equal and
-    ReuseExchange materializes the signature subtree once (plan-checked:
-    one ReusedExchange node in plans/r06/dedup_minhash_lsh_after.txt).
-    """
+    The signature subtree is still evaluated once per join side (Spark
+    4.1 does not reuse shuffle exchanges across the two sides of a
+    self-join — verified with an accumulator probe), but the subtree is
+    now the single-shuffle :func:`minhash_band_keys`, so the duplicated
+    work is one map-side-combined aggregate instead of the r5 chain of
+    four."""
     bands = minhash_band_keys(documents, k, n_hashes, band_size)
     a, b = bands.alias("a"), bands.alias("b")
     return (

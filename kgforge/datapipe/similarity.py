@@ -202,14 +202,21 @@ def lsh_candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs colliding on >=1 LSH band — the
-    pair generator that replaces the all-pairs cross join at scale."""
+    pair generator that replaces the all-pairs cross join at scale.
+    (The signature UDF is evaluated once per join side; Spark 4.1 does
+    not reuse shuffle exchanges across a self-join's two sides — the
+    per-batch matmul is cheap enough that duplicating it beats a
+    leaked cache/checkpoint of the signatures.)"""
     sigs = lsh_signatures(vectors, n_planes, dim, band_size)
-    a = sigs.select(F.col("vec_id").alias("doc_a"), "band", "bucket")
-    b = sigs.select(F.col("vec_id").alias("doc_b"), "band", "bucket")
+    a, b = sigs.alias("a"), sigs.alias("b")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b"))
         .dropDuplicates()
     )
 

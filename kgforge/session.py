@@ -76,7 +76,45 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_workers(spark, cores)
     return spark
+
+
+# Sessions whose Python worker pool has been pre-forked (keyed by the
+# JVM SparkContext application id — a new id means new executors).
+_WARMED: set[str] = set()
+
+
+def _warm_python_workers(spark: SparkSession, cores: int) -> None:
+    """Pre-fork the Python UDF worker pool at session build.
+
+    The first pandas-UDF job of a session pays the pyspark daemon
+    launch plus one pandas/pyarrow import per worker — measured ~10 s
+    at 32 cores (14.4 s cold vs 3.9 s warm for the same dictionary
+    scan). A production cluster amortizes that over hours; here one
+    parallel no-op Arrow batch per task slot moves it to session
+    creation, exactly like the executor warm-up a long-lived job does.
+    Disable with KGFORGE_WARM_PYTHON=0 (e.g. for UDF-free one-shots).
+    """
+    if os.environ.get("KGFORGE_WARM_PYTHON", "1") == "0":
+        return
+    app_id = spark.sparkContext.applicationId
+    if app_id in _WARMED:
+        return
+    _WARMED.add(app_id)
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import col, pandas_udf
+
+        @pandas_udf("long")
+        def _touch(v: pd.Series) -> pd.Series:
+            return v
+
+        spark.sparkContext.setJobDescription("session: warm python worker pool")
+        spark.range(cores * 2).repartition(cores * 2).select(_touch(col("id"))).count()
+        spark.sparkContext.setJobDescription(None)
+    except Exception:  # pragma: no cover — warming must never break startup
+        pass
 
 
 def spread_scan(df, *keys: str):
