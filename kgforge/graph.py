@@ -231,37 +231,58 @@ def transitive_closure(
     spark = edges.sparkSession
     with _constraint_propagation_off(spark):
         base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
-        # Dictionary-encode node labels to dense longs: ids are assigned
-        # once on the materialized node set (monotonically_increasing_id
-        # over a checkpoint is frozen), the loop runs on (long, long)
-        # pairs, and labels are re-attached after the fixpoint.
-        nodes = (
-            base.select(F.col("parent").alias("node"))
-            .unionByName(base.select(F.col("child").alias("node")))
-            .dropDuplicates()
-        )
-        ids = nodes.withColumn("id", F.monotonically_increasing_id()).localCheckpoint(
-            eager=True
-        )
-        null_id_rows = ids.filter(F.col("node").isNull()).collect()
-        null_id = null_id_rows[0]["id"] if null_id_rows else None
-        # the node dictionary's size is KNOWN (materialized) — pick the
-        # encode/decode join strategy from it instead of Catalyst's
-        # no-stats default (guide §3.1): broadcast while it fits,
-        # plain equi-join for genuinely huge node sets.
-        n_ids = ids.count()
-        small_ids = n_ids < CLOSURE_BROADCAST_MAX_ROWS
-        p_ids = ids.select(F.col("node").alias("parent"), F.col("id").alias("p"))
-        c_ids = ids.select(F.col("node").alias("child"), F.col("id").alias("c"))
-        p_dict = F.broadcast(p_ids) if small_ids else p_ids
-        c_dict = F.broadcast(c_ids) if small_ids else c_ids
-        e = (
-            base.join(p_dict, base["parent"].eqNullSafe(p_ids["parent"]), "left")
-            .join(c_dict, base["child"].eqNullSafe(c_ids["child"]), "left")
-            .select("p", "c")
-            .withColumn("dist", F.lit(1).cast("long"))
-            .localCheckpoint(eager=True)
-        )
+        # Encode node labels as longs for the loop (guide §2.3 narrower
+        # types). Fast path: when every non-null label round-trips
+        # exactly through a bigint cast (string(bigint(x)) == x —
+        # checked in ONE aggregate over the materialized base), the
+        # encoding is a pure cast projection and the decode a cast
+        # back: no node dictionary, no joins. Otherwise fall back to a
+        # dictionary encode via monotonically_increasing_id (frozen by
+        # the checkpoint), with join strategy picked from the
+        # dictionary's KNOWN size (guide §3.1).
+        def _bad(col: str):
+            c = F.col(col)
+            rt = c.try_cast("bigint").cast("string")  # try_cast: ANSI-safe probe
+            return F.max(
+                F.when(c.isNotNull() & (rt.isNull() | (rt != c)), F.lit(1)).otherwise(0)
+            )
+
+        chk = base.agg(_bad("parent").alias("bp"), _bad("child").alias("bc")).first()
+        castable = (chk["bp"] or 0) == 0 and (chk["bc"] or 0) == 0
+        if castable:
+            null_id = None
+            p_dict = c_dict = None
+            e = (
+                base.select(
+                    F.col("parent").cast("bigint").alias("p"),
+                    F.col("child").cast("bigint").alias("c"),
+                )
+                .withColumn("dist", F.lit(1).cast("long"))
+            )
+        else:
+            nodes = (
+                base.select(F.col("parent").alias("node"))
+                .unionByName(base.select(F.col("child").alias("node")))
+                .dropDuplicates()
+            )
+            ids = nodes.withColumn("id", F.monotonically_increasing_id()).localCheckpoint(
+                eager=True
+            )
+            null_id_rows = ids.filter(F.col("node").isNull()).collect()
+            null_id = null_id_rows[0]["id"] if null_id_rows else None
+            n_ids = ids.count()
+            small_ids = n_ids < CLOSURE_BROADCAST_MAX_ROWS
+            p_ids = ids.select(F.col("node").alias("parent"), F.col("id").alias("p"))
+            c_ids = ids.select(F.col("node").alias("child"), F.col("id").alias("c"))
+            p_dict = F.broadcast(p_ids) if small_ids else p_ids
+            c_dict = F.broadcast(c_ids) if small_ids else c_ids
+            e = (
+                base.join(p_dict, base["parent"].eqNullSafe(p_ids["parent"]), "left")
+                .join(c_dict, base["child"].eqNullSafe(c_ids["child"]), "left")
+                .select("p", "c")
+                .withColumn("dist", F.lit(1).cast("long"))
+                .localCheckpoint(eager=True)
+            )
     configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with _constraint_propagation_off(spark, configured, aqe_off=False):
         closure = e
@@ -310,6 +331,14 @@ def transitive_closure(
         else:
             raise ClosureNotConverged(
                 f"no fixpoint after {max_iterations} doubling rounds"
+            )
+        if castable:
+            # decode = cast back to each column's ORIGINAL dtype
+            p_t = edges.schema["parent"].dataType.simpleString()
+            c_t = edges.schema["child"].dataType.simpleString()
+            return closure.select(
+                F.col("p").cast(p_t).alias("parent"),
+                F.col("c").cast(c_t).alias("child"),
             )
         return (
             closure.join(p_dict, "p", "left")
