@@ -103,18 +103,19 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
         return
     _WARMED.add(app_id)
     try:
-        import pandas as pd
         from pyspark.sql.functions import col, pandas_udf
 
-        @pandas_udf("long")
-        def _touch(v: pd.Series) -> pd.Series:
-            return v
-
+        touch = pandas_udf(_touch_batch, "long")
         spark.sparkContext.setJobDescription("session: warm python worker pool")
-        spark.range(cores * 2).repartition(cores * 2).select(_touch(col("id"))).count()
+        spark.range(cores * 2).repartition(cores * 2).select(touch(col("id"))).count()
         spark.sparkContext.setJobDescription(None)
     except Exception:  # pragma: no cover — warming must never break startup
         pass
+
+
+def _touch_batch(v):
+    """Module-level no-op batch fn for the worker-pool warm-up."""
+    return v
 
 
 def spread_scan(df, *keys: str):

@@ -104,13 +104,36 @@ def main() -> None:
         (F.col("parent").cast("bigint") + F.col("child").cast("bigint")) % 20 == 0
     )
     base = sub.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
-    grown = (
-        base.alias("l")
-        .join(base.alias("r"), F.col("l.child") == F.col("r.parent"))
-        .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
-        .dropDuplicates()
-        .join(base, ["parent", "child"], "left_anti")
-    )
+    if tag == "before":
+        # round-5 round shape: delta-doubling join + dedup + anti
+        grown = (
+            base.alias("l")
+            .join(base.alias("r"), F.col("l.child") == F.col("r.parent"))
+            .select(F.col("l.parent").alias("parent"), F.col("r.child").alias("child"))
+            .dropDuplicates()
+            .join(base, ["parent", "child"], "left_anti")
+        )
+    else:
+        # round-6 round shape: broadcast exact-prefix frontier over long
+        # ids, min-dist aggregate, anti vs closure
+        e = base.select(
+            F.col("parent").cast("bigint").alias("p"),
+            F.col("child").cast("bigint").alias("c"),
+        ).withColumn("dist", F.lit(1).cast("long"))
+        cp = e.localCheckpoint(eager=True)
+        grown = (
+            F.broadcast(cp)
+            .alias("l")
+            .join(cp.alias("r"), F.col("l.c") == F.col("r.p"))
+            .select(
+                F.col("l.p").alias("p"),
+                F.col("r.c").alias("c"),
+                (F.col("l.dist") + F.col("r.dist")).alias("dist"),
+            )
+            .groupBy("p", "c")
+            .agg(F.min("dist").alias("dist"))
+            .join(cp, ["p", "c"], "left_anti")
+        )
     buf = io.StringIO()
     with redirect_stdout(buf):
         grown.explain("formatted")
