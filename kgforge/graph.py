@@ -311,23 +311,25 @@ def transitive_closure(
                 .agg(F.min("dist").alias("dist"))
             )
             new = grown.join(closure, ["p", "c"], "left_anti").localCheckpoint(eager=True)
-            if new.isEmpty():
-                if stats is not None:
-                    stats["rounds"] = i + 1
-                break
-            if stats is not None:
-                stats.setdefault("delta_sizes", []).append(new.count())
+            n_new = new.count() if stats is not None else None
             closure = closure.unionByName(new)
             # the next frontier is a cheap filter over the delta's
-            # checkpoint — no extra materialization needed
+            # checkpoint — no extra materialization needed. Its count
+            # doubles as the ONLY termination check: an empty delta
+            # implies an empty exact class, and an empty exact class
+            # proves completeness (any pair at distance > 2^(k+1) would
+            # have an exact-2^(k+1) prefix) — so the separate
+            # per-round isEmpty() job the r5 loop ran is redundant.
             exact = new.filter(F.col("dist") == (1 << (i + 1)))
             n_exact = exact.count()
             if n_exact == 0:
-                # no pair at distance exactly 2^(k+1) => none beyond it
-                # (its exact prefix would exist) => closure is complete
                 if stats is not None:
                     stats["rounds"] = i + 1
+                    if n_new:
+                        stats.setdefault("delta_sizes", []).append(n_new)
                 break
+            if stats is not None:
+                stats.setdefault("delta_sizes", []).append(n_new)
         else:
             raise ClosureNotConverged(
                 f"no fixpoint after {max_iterations} doubling rounds"
