@@ -103,11 +103,34 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
         return
     _WARMED.add(app_id)
     try:
+        from pyspark.sql import functions as F
         from pyspark.sql.functions import col, pandas_udf
 
         touch = pandas_udf(_touch_batch, "long")
         spark.sparkContext.setJobDescription("session: warm python worker pool")
         spark.range(cores * 2).repartition(cores * 2).select(touch(col("id"))).count()
+        # Second pass: string Arrow batches through a shuffle + hash
+        # aggregate. The long-column pool fork above leaves the string
+        # serialization path (Arrow var-length buffers both directions)
+        # and the shuffle/agg codegen cold, and the session's first real
+        # string-UDF job pays them — measured 1-2.5 s off the first
+        # dictionary scan at 32 cores. Synthetic range input only; the
+        # residual first-run cost (plan-specific codegen, per-call
+        # broadcasts) is not generically warmable and stays where it is.
+        touch_s = pandas_udf(_touch_str_batch, "long")
+        spark.sparkContext.setJobDescription("session: warm string udf path")
+        (
+            spark.range(cores * 2000)
+            .repartition(cores * 2)
+            .withColumn(
+                "s",
+                F.concat(F.lit("warm-"), col("id").cast("string"), F.lit("-x" * 40)),
+            )
+            .select(touch_s(col("s")).alias("n"))
+            .groupBy((col("n") % 7).alias("k"))
+            .count()
+            .count()
+        )
         spark.sparkContext.setJobDescription(None)
     except Exception:  # pragma: no cover — warming must never break startup
         pass
@@ -116,6 +139,13 @@ def _warm_python_workers(spark: SparkSession, cores: int) -> None:
 def _touch_batch(v):
     """Module-level no-op batch fn for the worker-pool warm-up."""
     return v
+
+
+def _touch_str_batch(v):
+    """Module-level string batch fn for the string-path warm-up (a
+    module-level plain function, like :func:`_touch_batch`, so the
+    pickled-by-reference UDF leaves the worker pool reusable)."""
+    return v.str.len()
 
 
 def spread_scan(df, *keys: str):

@@ -182,3 +182,32 @@ def test_spread_scan_noop_on_wide_input_and_rows_stable(spark, sf_dir):
     assert sorted(r.doc_id for r in spread.collect()) == sorted(
         r.doc_id for r in docs.collect()
     )
+
+
+# ------------------------------------------------------- session warm-up
+
+
+def test_string_warm_batch_fn_and_warmed_session_run_string_udfs(spark):
+    """The string-path warm-up (session._touch_str_batch + the second
+    warm job in _warm_python_workers) must leave the session fully
+    functional for real string pandas UDFs, and the batch fn itself
+    must be a plain length map (module-level, pickled by reference)."""
+    from kgforge.session import _WARMED, _touch_str_batch
+
+    s = pd.Series(["", "a", "warm-123", None])
+    got = _touch_str_batch(s)
+    assert list(got.fillna(-1)) == [0, 1, 8, -1]
+
+    # the test session was built by get_spark -> warm-up already ran
+    assert spark.sparkContext.applicationId in _WARMED
+
+    @F.pandas_udf("long")
+    def _len(v: pd.Series) -> pd.Series:
+        return v.str.len()
+
+    rows = (
+        spark.createDataFrame([("x",), ("hello",)], ["s"])
+        .select(_len("s").alias("n"))
+        .collect()
+    )
+    assert sorted(r.n for r in rows) == [1, 5]
