@@ -45,6 +45,34 @@ def _norm(a):
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
+# --- codegen fast path for the cosine fold (round 6) -----------------
+# HigherOrderFunction `aggregate` is interpreted: the lambda is
+# evaluated element-by-element per row, which at 64 dims x hundreds of
+# thousands of candidate pairs dominated the rescore stages. When the
+# arrays are statically DEFAULT_DIM long, the SAME float64 operation
+# sequence — ((0.0 + a1*b1) + a2*b2) + ... , strictly left-associated
+# like the fold — is emitted as a flat Add chain that whole-stage
+# codegen compiles. Bit-identical by construction (identical IEEE op
+# order, so the oracle's floor(cosine*1e4) can never diverge); arrays
+# of any OTHER length fall back to the interpreted fold, preserving
+# legacy semantics (incl. zip_with null-padding on length mismatch).
+
+
+def _dot_fast(a, b, dim: int = DEFAULT_DIM):
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.element_at(a, i + 1) * F.element_at(b, i + 1)
+    return F.when((F.size(a) == dim) & (F.size(b) == dim), acc).otherwise(_dot(a, b))
+
+
+def _norm_fast(a, dim: int = DEFAULT_DIM):
+    acc = F.lit(0.0)
+    for i in range(dim):
+        v = F.element_at(a, i + 1)
+        acc = acc + v * v
+    return F.when(F.size(a) == dim, F.sqrt(acc)).otherwise(_norm(a))
+
+
 def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     """All (query, candidate) cosine similarities; callers rank/filter.
     Deliberately a cross join — the exact-verification arm, never the
@@ -60,7 +88,12 @@ def cosine_pairs(queries: DataFrame, corpus: DataFrame) -> DataFrame:
     c = spread_scan(corpus, "vec_id").select(
         F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv")
     )
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    # norms are per-VECTOR quantities: compute them once per side
+    # before the pair explosion instead of twice per pair (identical
+    # float values — same op sequence per vector)
+    q = q.withColumn("qn", _norm_fast(F.col("qv")))
+    c = c.withColumn("cn", _norm_fast(F.col("cv")))
+    sim = _dot_fast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     return (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -91,9 +124,15 @@ def _topk(scored: DataFrame, k: int) -> DataFrame:
 def _rescore_topk(cand: DataFrame, queries: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
     """Exact-cosine re-score of candidate (query_id, neighbor_id) pairs
     + top-k — the shared tail of both bucketed ANN paths."""
-    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
-    c = corpus.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
-    sim = _dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    ).withColumn("qn", _norm_fast(F.col("qv")))
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        _as_double(F.col("embedding")).alias("cv"),
+    ).withColumn("cn", _norm_fast(F.col("cv")))
+    sim = _dot_fast(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = (
         cand.join(q, "query_id")
         .join(c, "neighbor_id")
@@ -381,10 +420,15 @@ def embedding_near_dups(vectors: DataFrame, threshold: float = 0.999) -> DataFra
     pinned >=0.95 in pytest; :func:`embedding_near_dups_exact` remains
     the oracle/verification arm."""
     cand = lsh_candidate_pairs(vectors)
-    v = vectors.select("vec_id", _as_double(F.col("embedding")).alias("v"))
-    a = v.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
-    b = v.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"))
-    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    # per-vector norms computed before the pair join (once per vector,
+    # not twice per collided pair), dot product via the codegen fast
+    # path — both bit-identical to the interpreted fold (see _dot_fast)
+    v = vectors.select("vec_id", _as_double(F.col("embedding")).alias("v")).withColumn(
+        "nrm", _norm_fast(F.col("v"))
+    )
+    a = v.select(F.col("vec_id").alias("doc_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("doc_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = _dot_fast(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")

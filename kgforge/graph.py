@@ -230,7 +230,9 @@ def transitive_closure(
     """
     spark = edges.sparkSession
     with _constraint_propagation_off(spark):
-        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=True)
+        # lazy: the castability probe just below is the materializing
+        # action — checkpoint + probe are one job
+        base = edges.select("parent", "child").dropDuplicates().localCheckpoint(eager=False)
         # Encode node labels as longs for the loop (guide §2.3 narrower
         # types). Fast path: when every non-null label round-trips
         # exactly through a bigint cast (string(bigint(x)) == x —
@@ -265,8 +267,12 @@ def transitive_closure(
                 .unionByName(base.select(F.col("child").alias("node")))
                 .dropDuplicates()
             )
+            # lazy: the null-id collect below materializes it. The ids
+            # must still come from ONE materialization (the checkpoint
+            # freezes monotonically_increasing_id) — lazy only moves
+            # which job does it.
             ids = nodes.withColumn("id", F.monotonically_increasing_id()).localCheckpoint(
-                eager=True
+                eager=False
             )
             null_id_rows = ids.filter(F.col("node").isNull()).collect()
             null_id = null_id_rows[0]["id"] if null_id_rows else None
@@ -281,7 +287,8 @@ def transitive_closure(
                 .join(c_dict, base["child"].eqNullSafe(c_ids["child"]), "left")
                 .select("p", "c")
                 .withColumn("dist", F.lit(1).cast("long"))
-                .localCheckpoint(eager=True)
+                # lazy: the loop-entry count materializes it
+                .localCheckpoint(eager=False)
             )
     configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
     with _constraint_propagation_off(spark, configured, aqe_off=False):
@@ -310,7 +317,9 @@ def transitive_closure(
                 .groupBy("p", "c")
                 .agg(F.min("dist").alias("dist"))
             )
-            new = grown.join(closure, ["p", "c"], "left_anti").localCheckpoint(eager=True)
+            # lazy: the frontier count below (or the stats count) is the
+            # materializing action — one driver job per round, not two
+            new = grown.join(closure, ["p", "c"], "left_anti").localCheckpoint(eager=False)
             n_new = new.count() if stats is not None else None
             closure = closure.unionByName(new)
             # the next frontier is a cheap filter over the delta's
@@ -455,7 +464,11 @@ def connected_components(
             edges.select(F.col("parent").alias("a"), F.col("child").alias("b"))
             .unionByName(edges.select(F.col("child").alias("a"), F.col("parent").alias("b")))
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            # lazy: the sizing count below is the materializing action —
+            # checkpoint + count are ONE job instead of two (a local
+            # checkpoint persists its blocks during whatever job first
+            # computes it)
+            .localCheckpoint(eager=False)
         )
     parts = _fixpoint_partitions(spark, undirected.count())
     configured = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -464,7 +477,8 @@ def connected_components(
             undirected.select(F.col("a").alias("node"))
             .dropDuplicates()
             .withColumn("component", F.col("node"))
-            .localCheckpoint(eager=True)
+            # lazy: round 1's fused job materializes it
+            .localCheckpoint(eager=False)
         )
         labels = labels_cp
         delta_sizes: list[int] = []
@@ -481,9 +495,13 @@ def connected_components(
                     labels.component.alias("prev"),
                     F.least(F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                # lazy: the convergence count IS the materializing
+                # action (fused — one driver job per round, not two; at
+                # dedup-cluster shapes the per-round job launch is the
+                # stage cost)
+                .localCheckpoint(eager=False)
             )
-            # convergence is a scan of the round just materialized —
+            # convergence is a scan of the round being materialized —
             # the old plan's separate updated-vs-labels join was a full
             # extra shuffle per round
             n_changed = updated_cp.filter(F.col("component") != F.col("prev")).count()
@@ -526,7 +544,8 @@ def connected_components_star(
             edges.select(F.col("parent").alias("u"), F.col("child").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .dropDuplicates()
-            .localCheckpoint(eager=True)
+            # lazy: the sizing count below materializes it (fused job)
+            .localCheckpoint(eager=False)
         )
     n_cur = cur.count()
     parts = _fixpoint_partitions(spark, n_cur)
@@ -558,7 +577,8 @@ def connected_components_star(
 
         delta_sizes: list[int] = []
         for i in range(max_iterations):
-            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+            # lazy checkpoint + count fused into one job per round
+            nxt = _small_star(_large_star(cur)).localCheckpoint(eager=False)
             n_nxt = nxt.count()
             # multiset equality <=> equal cardinality + one-sided
             # multiset containment (count is a cached-scan, exceptAll a

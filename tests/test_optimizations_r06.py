@@ -211,3 +211,55 @@ def test_string_warm_batch_fn_and_warmed_session_run_string_udfs(spark):
         .collect()
     )
     assert sorted(r.n for r in rows) == [1, 5]
+
+
+# ------------------------------------------------------- cosine fast path
+
+
+def test_cosine_fast_path_bit_identical_and_fallback_arms(spark):
+    """_dot_fast/_norm_fast emit the fold's exact float64 op sequence as
+    a flat codegen chain when arrays are DEFAULT_DIM long, and fall back
+    to the interpreted HOF fold on any other shape. Compared bitwise
+    (cast to string via %.17g would round — compare the doubles raw and
+    the oracle-facing floor(x*1e4) form) across: 64-dim vectors with
+    negative/zero/denormal-ish components, shorter arrays, mismatched
+    lengths, and NULL arrays."""
+    import math
+    import random
+
+    from kgforge.datapipe.similarity import (
+        DEFAULT_DIM,
+        _dot,
+        _dot_fast,
+        _norm,
+        _norm_fast,
+    )
+
+    rng = random.Random(7)
+
+    def vec(n):
+        return [rng.uniform(-1, 1) * (10 ** rng.randint(-6, 2)) for _ in range(n)]
+
+    rows = [
+        (vec(DEFAULT_DIM), vec(DEFAULT_DIM)),
+        ([0.0] * DEFAULT_DIM, [-0.0] * DEFAULT_DIM),
+        (vec(8), vec(8)),                 # short: fallback arm
+        (vec(DEFAULT_DIM), vec(8)),       # mismatched: zip_with null-pad
+        (None, vec(DEFAULT_DIM)),         # null array
+        (vec(DEFAULT_DIM), None),
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        _dot_fast(F.col("a"), F.col("b")).alias("df"),
+        _dot(F.col("a"), F.col("b")).alias("ds"),
+        _norm_fast(F.col("a")).alias("nf"),
+        _norm(F.col("a")).alias("ns"),
+    ).collect()
+    for r in got:
+        for fast, slow in ((r.df, r.ds), (r.nf, r.ns)):
+            if slow is None or (isinstance(slow, float) and math.isnan(slow)):
+                assert fast is None or math.isnan(fast)
+            else:
+                # bitwise equality, not approx: identical op order
+                assert math.copysign(1, fast) == math.copysign(1, slow)
+                assert fast == slow and str(fast) == str(slow)
