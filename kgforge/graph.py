@@ -249,8 +249,13 @@ def transitive_closure(
                 F.when(c.isNotNull() & (rt.isNull() | (rt != c)), F.lit(1)).otherwise(0)
             )
 
-        chk = base.agg(_bad("parent").alias("bp"), _bad("child").alias("bc")).first()
+        # the probe agg also carries count(*): |e| == |base| (e is a
+        # projection), so the castable path's loop-entry count is free
+        chk = base.agg(
+            _bad("parent").alias("bp"), _bad("child").alias("bc"), F.count("*").alias("n")
+        ).first()
         castable = (chk["bp"] or 0) == 0 and (chk["bc"] or 0) == 0
+        n_base = int(chk["n"] or 0)
         if castable:
             null_id = None
             p_dict = c_dict = None
@@ -274,9 +279,14 @@ def transitive_closure(
             ids = nodes.withColumn("id", F.monotonically_increasing_id()).localCheckpoint(
                 eager=False
             )
-            null_id_rows = ids.filter(F.col("node").isNull()).collect()
-            null_id = null_id_rows[0]["id"] if null_id_rows else None
-            n_ids = ids.count()
+            # one fused job: materializes the checkpoint, sizes the
+            # dictionary AND finds the (at most one) NULL node's id
+            id_row = ids.agg(
+                F.count("*").alias("n"),
+                F.max(F.when(F.col("node").isNull(), F.col("id"))).alias("null_id"),
+            ).first()
+            null_id = id_row["null_id"]
+            n_ids = int(id_row["n"] or 0)
             small_ids = n_ids < CLOSURE_BROADCAST_MAX_ROWS
             p_ids = ids.select(F.col("node").alias("parent"), F.col("id").alias("p"))
             c_ids = ids.select(F.col("node").alias("child"), F.col("id").alias("c"))
@@ -294,7 +304,9 @@ def transitive_closure(
     with _constraint_propagation_off(spark, configured, aqe_off=False):
         closure = e
         exact = e
-        n_exact = e.count()
+        # castable: |e| came with the probe agg; dictionary path: this
+        # count is e's checkpoint-materializing action (fused)
+        n_exact = n_base if castable else e.count()
         for i in range(max_iterations):
             lhs = (
                 F.broadcast(exact)
