@@ -182,25 +182,41 @@ def lsh_candidate_pairs(
     band_size: int = DEFAULT_BAND_SIZE,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the signature, hash each band,
-    join docs sharing a band bucket. Never materializes all pairs —
+    pair up docs sharing a band bucket. Never materializes all pairs —
     the scale path for near-dup at 10^9+ docs.
 
-    The signature subtree is still evaluated once per join side (Spark
-    4.1 does not reuse shuffle exchanges across the two sides of a
-    self-join — verified with an accumulator probe), but the subtree is
-    now the single-shuffle :func:`minhash_band_keys`, so the duplicated
-    work is one map-side-combined aggregate instead of the r5 chain of
-    four."""
+    Pair generation is a bucket groupBy + in-bucket enumeration, not a
+    self-join (r6 third pass): Spark 4.1 does not reuse shuffle
+    exchanges across a self-join's two sides (verified with an
+    accumulator probe), so the join form evaluated the whole signature
+    subtree — the corpus scan, the shingle explode and 16 md5-min
+    aggregates per shingle — TWICE. Grouping the (doc_id, band,
+    band_key) rows by bucket and reading the (a < b) pairs off the
+    sorted doc array with pure expressions evaluates it ONCE and
+    replaces the two join-side exchanges with one tiny bucket-key
+    exchange (guide §2.4 — remove shuffles outright; measured
+    row-identical and ~2x on the suite entry).
+
+    Scale shape is unchanged: a bucket is a near-dup group keyed by a
+    128-bit band hash, so bucket arrays are duplicate-cluster-sized —
+    the same B rows the join's sort-merge buffered per key — and the
+    enumeration emits exactly the B*(B-1)/2 pairs the join emitted
+    (quadratic in a genuinely viral duplicate cluster either way; each
+    exploded row holds at most one bucket's ids)."""
     bands = minhash_band_keys(documents, k, n_hashes, band_size)
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = bands.groupBy("band", "band_key").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ids")
+    )
+    # ids is sorted + distinct per bucket (one band row per doc), so the
+    # (i, j>i) element pairs are exactly the doc_a < doc_b pairs
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
+        buckets.select(F.col("ids"), F.posexplode("ids").alias("i", "doc_a"))
+        .select(
+            "doc_a",
+            F.explode(F.slice(F.col("ids"), F.col("i") + 2, F.size("ids"))).alias(
+                "doc_b"
+            ),
         )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates()
     )
 
@@ -435,8 +451,16 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
 def simhash_near_dups(documents: DataFrame, max_hamming: int = 3, n_bands: int = 4) -> DataFrame:
     """SimHash near-dup pairs via banded blocking: split the 64-bit hash
     into ``n_bands`` chunks; a pair within hamming distance < n_bands
-    must agree on >=1 chunk (pigeonhole), so candidates come from a
-    chunk-equality join, then exact popcount filters."""
+    must agree on >=1 chunk (pigeonhole), so candidates come from
+    chunk-equality buckets, then exact popcount filters.
+
+    Candidates are enumerated per bucket (groupBy + sorted-array pair
+    expressions), not via a chunk-equality self-join, for the same
+    reason as :func:`lsh_candidate_pairs`: the join form evaluated the
+    SimHash UDF subtree once per side; this form evaluates it once
+    (measured row-identical, first-run ~2x). Buckets are near-dup
+    groups keyed by an exact 16-bit hash chunk; pair volume per bucket
+    is identical to the join's."""
     hashed = documents.select("doc_id", simhash_udf(F.col("text")).alias("sh"))
     chunk_bits = 64 // n_bands
     chunks = hashed.select(
@@ -454,12 +478,23 @@ def simhash_near_dups(documents: DataFrame, max_hamming: int = 3, n_bands: int =
             ])
         ).alias("bc"),
     ).select("doc_id", "sh", "bc.band", "bc.chunk")
-    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "chunk")
-    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "chunk")
+    # struct array sorts by doc_id (its first field, unique per bucket):
+    # the (i, j>i) element pairs are exactly the doc_a < doc_b pairs
+    buckets = chunks.groupBy("band", "chunk").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "sh"))).alias("m")
+    )
     cand = (
-        a.join(b, ["band", "chunk"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        buckets.select(F.col("m"), F.posexplode("m").alias("i", "a"))
+        .select(
+            "a",
+            F.explode(F.slice(F.col("m"), F.col("i") + 2, F.size("m"))).alias("b"),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sh_a"),
+            F.col("b.sh").alias("sh_b"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -131,6 +131,44 @@ def test_minhash_band_keys_and_pairs_match_r5_formulation(spark, sf_dir):
     )
 
 
+def test_simhash_bucket_enumeration_matches_selfjoin_formulation(spark, sf_dir):
+    """The r6 third-pass bucket enumeration must emit exactly the pairs
+    the chunk-equality self-join emitted (kept verbatim here as the
+    semantics pin), hamming values included."""
+    docs = dd.docs_with_dups(_docs(spark, sf_dir))
+    hashed = docs.select("doc_id", dd.simhash_udf(F.col("text")).alias("sh"))
+    n_bands, chunk_bits = 4, 16
+    chunks = hashed.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.shiftrightunsigned(F.col("sh"), i * chunk_bits)
+                    .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                    .alias("chunk"),
+                )
+                for i in range(n_bands)
+            ])
+        ).alias("bc"),
+    ).select("doc_id", "sh", "bc.band", "bc.chunk")
+    a = chunks.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), "band", "chunk")
+    b = chunks.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), "band", "chunk")
+    joined = (
+        a.join(b, ["band", "chunk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    assert set(map(tuple, dd.simhash_near_dups(docs).collect())) == set(
+        map(tuple, joined.collect())
+    )
+
+
 # ------------------------------------------------------------ spans
 def test_repeated_spans_array_runsplit_matches_r5_window_form(spark, sf_dir):
     docs = dd.docs_with_dups(_docs(spark, sf_dir))
