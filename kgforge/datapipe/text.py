@@ -66,15 +66,32 @@ def lang_scores(col: Column) -> dict[str, Column]:
 
 
 def lang_id(col: Column) -> Column:
-    """argmax over lang_scores with fixed tie-break order (LANG_ORDER)."""
+    """argmax over lang_scores with fixed tie-break order (LANG_ORDER).
+
+    Built as ONE ``array_min`` over (-score, order-index) structs, not a
+    nested when-chain (r6): the chain form duplicated every score
+    expression at each comparison level — the expanded tree held up to
+    2^(n_langs-1) copies of the replace-based counters, and FilterExec
+    codegen performs no common-subexpression elimination, so a lang_id
+    FILTER re-scanned the text dozens of times per row (measured 1.8 s
+    vs 0.55 s for the same predicate inside an aggregate, where CSE
+    applies). Here each score appears exactly once; array_min's struct
+    ordering ((-score, idx) lexicographic) is precisely "higher score
+    wins, earlier LANG_ORDER wins ties" — the chain's strict-> argmax
+    semantics, pinned by test + the unchanged DuckDB oracle."""
     scores = lang_scores(col)
-    best_lang = F.lit(LANG_ORDER[0])
-    best_score = scores[LANG_ORDER[0]]
-    for lang in LANG_ORDER[1:]:
-        is_better = scores[lang] > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, scores[lang]).otherwise(best_score)
-    return best_lang
+    ranked = F.array(
+        *[
+            F.struct(
+                (-scores[lang]).alias("neg"), F.lit(i).alias("idx")
+            )
+            for i, lang in enumerate(LANG_ORDER)
+        ]
+    )
+    best = F.array_min(ranked)
+    return F.element_at(
+        F.array(*[F.lit(lang) for lang in LANG_ORDER]), best["idx"] + 1
+    )
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:

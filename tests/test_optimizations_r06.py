@@ -169,6 +169,44 @@ def test_simhash_bucket_enumeration_matches_selfjoin_formulation(spark, sf_dir):
     )
 
 
+# ------------------------------------------------------------ lang_id
+def test_lang_id_array_argmax_matches_when_chain(spark, sf_dir):
+    """The r6 array_min argmax must equal the original when-chain
+    formulation (kept verbatim here) on the corpus AND on synthetic
+    tie/zero/empty cases — including the earliest-language tie-break."""
+    from kgforge.datapipe import text as dtext
+
+    def chain_lang_id(col):
+        scores = dtext.lang_scores(col)
+        best_lang = F.lit(dtext.LANG_ORDER[0])
+        best_score = scores[dtext.LANG_ORDER[0]]
+        for lang in dtext.LANG_ORDER[1:]:
+            is_better = scores[lang] > best_score
+            best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+            best_score = F.when(is_better, scores[lang]).otherwise(best_score)
+        return best_lang
+
+    corpus = _docs(spark, sf_dir).select(F.col("text"))
+    ties = spark.createDataFrame(
+        [
+            ("",),  # all-zero: en by tie order
+            ("the a",),  # en outright
+            ("fast value the a",),  # en/de tie at 2: en by order
+            ("join query window merge",),  # fr/zh tie: fr by order
+            ("data row data row",),  # es outright
+            ("window merge window",),  # zh outright
+            ("value fast fast",),  # de outright
+        ],
+        "text string",
+    )
+    for df in (corpus, ties):
+        rows = df.select(
+            dtext.lang_id(F.col("text")).alias("new"),
+            chain_lang_id(F.col("text")).alias("old"),
+        ).collect()
+        assert all(r.new == r.old for r in rows)
+
+
 # ------------------------------------------------------------ spans
 def test_repeated_spans_array_runsplit_matches_r5_window_form(spark, sf_dir):
     docs = dd.docs_with_dups(_docs(spark, sf_dir))
