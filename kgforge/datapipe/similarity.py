@@ -80,12 +80,13 @@ def _norm_fast(a, dim: int = DEFAULT_DIM):
 # runs each plan exactly once. First-run A/B in fresh sessions
 # (scripts/r06_sim_firstrun_ab.py, alternating, 3 reps/arm): interpreted
 # beats codegen on every entry at bench scale — cosine 2.30 vs 3.65 s,
-# near-dups 2.93 vs 4.24 s, IVF 1.29 vs 2.15 s. Default is therefore
-# the interpreted fold; set KGFORGE_COSINE_CODEGEN=1 for long-lived
-# jobs whose rescore volume amortizes the compile (at 5x corpus the
-# codegen arm already nets out ahead). Both arms are bit-identical
-# (identical IEEE op order, pytest-pinned), so the switch can never
-# change results.
+# near-dups 2.93 vs 4.24 s, IVF 1.29 vs 2.15 s. At 5x corpus the two
+# arms are a first-run wash (12.6/13.6 vs 10.1/15.0 s alternating) and
+# codegen leads only on warm laps. Default is therefore the interpreted
+# fold; set KGFORGE_COSINE_CODEGEN=1 for long-lived/iterative jobs
+# whose warm rescore volume amortizes the compile. Both arms are
+# bit-identical (identical IEEE op order, pytest-pinned), so the
+# switch can never change results.
 def _fold_dot(a, b):
     import os
 
