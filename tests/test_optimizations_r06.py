@@ -189,6 +189,7 @@ def test_lang_id_array_argmax_matches_when_chain(spark, sf_dir):
     corpus = _docs(spark, sf_dir).select(F.col("text"))
     ties = spark.createDataFrame(
         [
+            (None,),  # NULL text: null scores, en by tie order (both forms)
             ("",),  # all-zero: en by tie order
             ("the a",),  # en outright
             ("fast value the a",),  # en/de tie at 2: en by order
